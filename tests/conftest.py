@@ -1,0 +1,53 @@
+"""Test configuration.
+
+- Runs the suite on CPU by default with 8 virtual devices so multi-chip
+  sharding logic is exercised on a single host (the JAX analog of a fake
+  distributed backend; SURVEY §4). Set UFVIDEO_TEST_TPU=1 to run the
+  real-chip kernel tests instead (first compiles on a tunneled TPU are slow).
+- Pallas kernels still get CPU coverage through interpret mode.
+"""
+
+import os
+import sys
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+RUN_TPU = os.environ.get("UFVIDEO_TEST_TPU", "") == "1"
+if not RUN_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh():
+    """8-way (1 data, 4 fsdp, 2 tensor) CPU mesh for sharding tests."""
+    from ufvideo_tpu.parallel import create_mesh
+
+    return create_mesh(dp=1, fsdp=4, tp=2, devices=jax.devices("cpu")[:8])
+
+
+def has_tpu() -> bool:
+    if not RUN_TPU:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+requires_tpu = pytest.mark.skipif(
+    not has_tpu(), reason="needs a TPU chip (set UFVIDEO_TEST_TPU=1)"
+)

@@ -1,0 +1,100 @@
+"""Flash-attention kernel vs XLA reference parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ufvideo_tpu.ops.attention import xla_attention
+from conftest import requires_tpu
+
+
+def _rand_qkv(key, b, sq, skv, hq, hkv, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, hq, d), dtype)
+    k = jax.random.normal(kk, (b, skv, hkv, d), dtype)
+    v = jax.random.normal(kv, (b, skv, hkv, d), dtype)
+    return q, k, v
+
+
+def test_xla_attention_matches_naive():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, 16, 16, 4, 4, 8)
+    out = xla_attention(q, k, v)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(8)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, axis=-1), v)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_xla_attention_causal():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 8, 8, 2, 2, 8)
+    out = xla_attention(q, k, v, causal=True)
+    # row 0 attends only to kv 0
+    ref0 = v[:, 0]
+    np.testing.assert_allclose(out[:, 0], ref0, atol=1e-5)
+
+
+def test_xla_attention_gqa_matches_repeated():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), 2, 12, 12, 8, 2, 16)
+    out = xla_attention(q, k, v)
+    k_rep = jnp.repeat(k, 4, axis=2)
+    v_rep = jnp.repeat(v, 4, axis=2)
+    ref = xla_attention(q, k_rep, v_rep)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_xla_attention_kv_lens():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 2, 4, 10, 2, 2, 8)
+    kv_lens = jnp.array([10, 6], dtype=jnp.int32)
+    out = xla_attention(q, k, v, kv_lens=kv_lens)
+    ref1 = xla_attention(q[1:], k[1:, :6], v[1:, :6])
+    np.testing.assert_allclose(out[1:], ref1, atol=1e-5)
+
+
+def test_flash_attention_interpret_small():
+    """Kernel-logic coverage on CPU via Pallas interpret mode."""
+    from ufvideo_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 256, 256, 2, 1, 64)
+    out = flash_attention(
+        q, k, v, causal=True, block_q=128, block_kv=128, interpret=True
+    )
+    ref = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@requires_tpu
+@pytest.mark.parametrize(
+    "b,sq,skv,hq,hkv,d,causal",
+    [
+        (1, 256, 256, 4, 4, 128, False),
+        (2, 384, 384, 4, 2, 64, True),  # unaligned d, GQA, causal
+        (1, 729, 729, 16, 16, 72, False),  # SigLIP shape
+        (1, 200, 1224, 2, 2, 72, False),  # cross-attention shape
+    ],
+)
+def test_flash_attention_matches_xla(b, sq, skv, hq, hkv, d, causal):
+    from ufvideo_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(
+        jax.random.PRNGKey(42), b, sq, skv, hq, hkv, d, jnp.bfloat16
+    )
+    out = flash_attention(q, k, v, causal=causal)
+    ref = xla_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(
+        out.astype(np.float32), ref.astype(np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+@requires_tpu
+def test_flash_attention_kv_lens():
+    from ufvideo_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(
+        jax.random.PRNGKey(7), 2, 256, 512, 4, 4, 128, jnp.bfloat16
+    )
+    kv_lens = jnp.array([512, 300], dtype=jnp.int32)
+    out = flash_attention(q, k, v, kv_lens=kv_lens)
+    ref = xla_attention(q, k, v, kv_lens=kv_lens)
+    np.testing.assert_allclose(
+        out.astype(np.float32), ref.astype(np.float32), atol=2e-2, rtol=2e-2
+    )

@@ -1,0 +1,202 @@
+"""Qwen2 language model, TPU-native.
+
+Replaces the reference's HF ``Qwen2ForCausalLM`` + flash-attn-2 CUDA stack
+(reference: videorefer_qwen2.py:113-124, train.py:973) with a functional JAX
+implementation: layers folded into one ``nn.scan`` (single-layer compile,
+layer-stacked params), an explicit padded KV cache threaded through scan as
+per-layer xs/ys, Pallas flash attention for prefill, and a fused XLA masked
+softmax for single-token decode.
+
+Three modes share one code path:
+  - ``train``   : full causal forward, no cache.
+  - ``prefill`` : causal forward that also writes k/v into the cache.
+  - ``decode``  : single-token step against the cache.
+
+The vocab is physically padded to a 256 multiple for MXU-friendly lm_head
+matmuls; logits for padding ids are masked at sampling time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import Qwen2Config
+from ..ops.attention import attention, decode_attention
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+class RMSNorm(nn.Module):
+    """HF-Qwen2-ordered RMSNorm: fp32 normalize, cast, then scale."""
+
+    eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param(
+            "scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype
+        )
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return xf.astype(self.dtype) * scale.astype(self.dtype)
+
+
+def make_kv_cache(
+    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+class Qwen2DecoderLayer(nn.Module):
+    cfg: Qwen2Config
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, carry: Tuple, cache_layer: Optional[Dict], mode: str):
+        cfg = self.cfg
+        x, cos, sin, seq_lens, cache_len = carry
+        b, s, _ = x.shape
+
+        dense = lambda feats, bias, name: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+        norm = lambda name: RMSNorm(
+            cfg.rms_norm_eps, self.dtype, self.param_dtype, name=name
+        )
+
+        # --- attention ---
+        h = norm("input_layernorm")(x)
+        q = dense(cfg.num_heads * cfg.head_dim, True, "self_attn_q_proj")(h)
+        k = dense(cfg.num_kv_heads * cfg.head_dim, True, "self_attn_k_proj")(h)
+        v = dense(cfg.num_kv_heads * cfg.head_dim, True, "self_attn_v_proj")(h)
+        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = cache_layer
+        if mode == "train":
+            o = attention(q, k, v, causal=True, kv_lens=seq_lens)
+        elif mode == "prefill":
+            kc = jax.lax.dynamic_update_slice(
+                cache_layer["k"], k.astype(cache_layer["k"].dtype), (0, 0, 0, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                cache_layer["v"], v.astype(cache_layer["v"].dtype), (0, 0, 0, 0)
+            )
+            new_cache = {"k": kc, "v": vc}
+            o = attention(q, k, v, causal=True, kv_lens=seq_lens)
+        elif mode == "decode":
+            # write this step's k/v at per-sequence position cache_len
+            bidx = jnp.arange(b)
+            kc = cache_layer["k"].at[bidx, cache_len].set(
+                k[:, 0].astype(cache_layer["k"].dtype)
+            )
+            vc = cache_layer["v"].at[bidx, cache_len].set(
+                v[:, 0].astype(cache_layer["v"].dtype)
+            )
+            new_cache = {"k": kc, "v": vc}
+            o = decode_attention(q, kc, vc, cache_len + 1)
+        else:
+            raise ValueError(mode)
+
+        o = o.reshape(b, s, cfg.num_heads * cfg.head_dim)
+        x = x + dense(cfg.hidden_size, False, "self_attn_o_proj")(o)
+
+        # --- mlp ---
+        h = norm("post_attention_layernorm")(x)
+        gate = dense(cfg.intermediate_size, False, "mlp_gate_proj")(h)
+        up = dense(cfg.intermediate_size, False, "mlp_up_proj")(h)
+        down = dense(cfg.hidden_size, False, "mlp_down_proj")(
+            nn.silu(gate) * up
+        )
+        x = x + down
+
+        return (x, cos, sin, seq_lens, cache_len), new_cache
+
+
+class Qwen2LM(nn.Module):
+    """Backbone + lm_head. Call ``embed`` / ``backbone`` / ``logits``
+    separately so the composite model can splice multimodal embeddings
+    between embed and backbone (the TPU-native equivalent of the reference's
+    prepare_inputs_labels_for_multimodal, videorefer_arch.py:218-370)."""
+
+    cfg: Qwen2Config
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(
+            cfg.padded_vocab_size, cfg.hidden_size,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="embed_tokens",
+        )
+        self.norm = RMSNorm(
+            cfg.rms_norm_eps, self.dtype, self.param_dtype, name="norm"
+        )
+        self.lm_head = nn.Dense(
+            cfg.padded_vocab_size, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="lm_head",
+        )
+        self.layers = nn.scan(
+            Qwen2DecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=cfg.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, self.dtype, self.param_dtype, name="layers")
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(jnp.maximum(input_ids, 0))
+
+    def _run_layers(self, x, positions, seq_lens, cache, cache_len, mode):
+        cfg = self.cfg
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        carry = (x, cos, sin, seq_lens, cache_len)
+        carry, new_cache = self.layers(carry, cache, mode)
+        return self.norm(carry[0]), new_cache
+
+    def backbone(
+        self,
+        input_embeds: jnp.ndarray,  # [B, S, hidden]
+        positions: jnp.ndarray,  # [B, S] int32
+        seq_lens: Optional[jnp.ndarray] = None,  # [B] valid lengths
+        cache: Optional[Dict] = None,  # layer-stacked kv cache
+        cache_len: Optional[jnp.ndarray] = None,  # [B] for decode
+        mode: str = "train",
+    ):
+        """Returns (final hidden states [B, S, hidden], new cache or None)."""
+        b, s, _ = input_embeds.shape
+        if seq_lens is None:
+            seq_lens = jnp.full((b,), s, jnp.int32)
+        if cache_len is None:
+            cache_len = jnp.zeros((b,), jnp.int32)
+        x = input_embeds.astype(self.dtype)
+        return self._run_layers(x, positions, seq_lens, cache, cache_len, mode)
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        return self.lm_head(hidden)
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        seq_lens: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Plain text-only causal LM forward → logits (training/eval path)."""
+        b, s = input_ids.shape
+        x = self.embed(input_ids)
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        hidden, _ = self.backbone(x, positions, seq_lens, mode="train")
+        return self.logits(hidden)

@@ -1,0 +1,136 @@
+"""SigLIP-SO400M vision tower, TPU-native.
+
+Re-implements the behavior of the reference's frozen HF SiglipVisionModel
+feature tap (reference: ufvideo/model/encoder.py:96-181): NHWC patchify conv,
+learned position embeddings, pre-LN transformer, and the hidden-state tap at
+``mm_vision_select_layer=-2`` (encoder.py:104,126-132) — meaning the final
+encoder layer and post-layernorm are never executed, so they are not even
+materialized here.
+
+Layers are folded into a single ``nn.scan`` so the 26-layer encoder compiles
+as one layer; attention dispatches to the Pallas flash kernel on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import SiglipVisionConfig
+from ..ops.attention import attention
+
+
+class SiglipAttention(nn.Module):
+    cfg: SiglipVisionConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        b, s, _ = x.shape
+        dense = lambda name: nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name=name,
+        )
+        q = dense("q_proj")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = dense("k_proj")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        v = dense("v_proj")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        o = attention(q, k, v)
+        return dense("out_proj")(o.reshape(b, s, cfg.hidden_size))
+
+
+class SiglipMLP(nn.Module):
+    cfg: SiglipVisionConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.cfg.intermediate_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
+        return nn.Dense(
+            self.cfg.hidden_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="fc2",
+        )(x)
+
+
+class SiglipEncoderLayer(nn.Module):
+    cfg: SiglipVisionConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _) -> tuple:
+        ln = lambda name: nn.LayerNorm(
+            epsilon=self.cfg.layer_norm_eps, dtype=jnp.float32,
+            param_dtype=self.param_dtype, name=name,
+        )
+        h = ln("layer_norm1")(x).astype(self.dtype)
+        x = x + SiglipAttention(
+            self.cfg, self.dtype, self.param_dtype, name="self_attn"
+        )(h)
+        h = ln("layer_norm2")(x).astype(self.dtype)
+        x = x + SiglipMLP(self.cfg, self.dtype, self.param_dtype, name="mlp")(h)
+        return x, None
+
+
+class SiglipVisionTower(nn.Module):
+    """Frames in, penultimate-layer patch features out.
+
+    Input:  [B, H, W, 3] NHWC float (already resized + SigLIP-normalized).
+    Output: [B, grid*grid, hidden] features (all patch tokens kept — SigLIP
+    has no CLS token to strip, reference encoder.py:126-132).
+    """
+
+    cfg: SiglipVisionConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        b = pixels.shape[0]
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="patch_embedding",
+        )(pixels.astype(self.dtype))
+        x = x.reshape(b, cfg.num_patches, cfg.hidden_size)
+
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.num_patches, cfg.hidden_size),
+            self.param_dtype,
+        )
+        x = x + pos[None].astype(self.dtype)
+
+        layers = nn.scan(
+            SiglipEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_encode_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, self.dtype, self.param_dtype, name="layers")
+        x, _ = layers(x, None)
+        return x
+
+
+def encode_frames(model: SiglipVisionTower, params, frames: jnp.ndarray):
+    """Encode a flat batch of frames [N, H, W, 3] → [N, P, hidden].
+
+    Mirrors the (b·t) flattened batch encode of the reference
+    (videorefer_arch.py:168-191).
+    """
+    return model.apply({"params": params}, frames)

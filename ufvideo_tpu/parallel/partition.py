@@ -1,0 +1,108 @@
+"""Parameter sharding rules: param-path regex -> PartitionSpec.
+
+The reference has no model sharding at all (SURVEY §2c: DP only). Here we
+define TPU-native rules so the 7B LLM can run tensor-parallel over ICI and
+everything can be FSDP-sharded (ZeRO-equivalent). Rules are matched on the
+'/'-joined param path of the flax param pytree; first match wins.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import FSDP_AXIS, TENSOR_AXIS
+
+Rules = Sequence[Tuple[str, P]]
+
+# Qwen2 LLM tensor-parallel layout: attention q/k/v and mlp gate/up are
+# column-parallel (output dim over 'tensor'), o_proj and mlp down are
+# row-parallel (input dim over 'tensor'); embeddings/lm_head over vocab.
+# FSDP shards the other large dim.
+QWEN2_RULES: Rules = (
+    (r".*embed_tokens/embedding$", P(TENSOR_AXIS, FSDP_AXIS)),
+    (r".*(q_proj|k_proj|v_proj)/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r".*(q_proj|k_proj|v_proj)/bias$", P(TENSOR_AXIS)),
+    (r".*o_proj/kernel$", P(TENSOR_AXIS, FSDP_AXIS)),
+    (r".*(gate_proj|up_proj)/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r".*down_proj/kernel$", P(TENSOR_AXIS, FSDP_AXIS)),
+    (r".*lm_head/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r".*norm.*/scale$", P()),
+)
+
+# Vision tower / projector / SAM2: FSDP-shard big matmuls, replicate the rest.
+VISION_RULES: Rules = (
+    (r".*(patch_embed|pos_emb).*", P()),
+    (r".*kernel$", P(FSDP_AXIS)),
+    (r".*", P()),
+)
+
+DEFAULT_RULES: Rules = QWEN2_RULES + VISION_RULES + ((r".*", P()),)
+
+
+def _spec_for(path: str, rules: Rules, ndim: int) -> P:
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, path):
+            parts = tuple(spec)
+            if len(parts) > ndim:
+                # rule refers to more dims than the param has → replicate
+                return P()
+            # pad spec to param rank
+            return P(*(parts + (None,) * (ndim - len(parts))))
+    return P()
+
+
+def _path_str(path) -> str:
+    keys = []
+    for p in path:
+        if hasattr(p, "key"):
+            keys.append(str(p.key))
+        elif hasattr(p, "idx"):
+            keys.append(str(p.idx))
+        else:
+            keys.append(str(p))
+    return "/".join(keys)
+
+
+def partition_specs(params: Any, rules: Rules = DEFAULT_RULES) -> Any:
+    """PartitionSpec pytree mirroring ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_str(path), rules, getattr(leaf, "ndim", 0)),
+        params,
+    )
+
+
+def _divisible(shape: Tuple[int, ...], spec: P, mesh: Mesh) -> bool:
+    for dim, axes in zip(shape, tuple(spec)):
+        if axes is None:
+            continue
+        axes = (axes,) if isinstance(axes, str) else axes
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        if dim % size != 0:
+            return False
+    return True
+
+
+def shardings_for(params: Any, mesh: Mesh, rules: Rules = DEFAULT_RULES) -> Any:
+    """NamedSharding pytree for ``params``; falls back to replication when a
+    dim does not divide the mesh axis (small adapters, odd head counts)."""
+    specs = partition_specs(params, rules)
+
+    def to_sharding(leaf, spec):
+        shape = getattr(leaf, "shape", ())
+        if not _divisible(shape, spec, mesh):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree.map(to_sharding, params, specs)
+
+
+def shard_params(params: Any, mesh: Mesh, rules: Rules = DEFAULT_RULES) -> Any:
+    """Device-put ``params`` with the rule-derived shardings."""
+    shardings = shardings_for(params, mesh, rules)
+    return jax.tree.map(jax.device_put, params, shardings)
