@@ -1,0 +1,143 @@
+"""Benchmark driver. Prints ONE JSON line with the headline metric.
+
+Default benchmark: SigLIP-SO400M vision-tower encode throughput
+(frames/sec/chip) — the hot encode stage of the pipeline (SURVEY §6 driver
+target: 2000 f/s/chip on v5e). Additional benchmarks selectable via argv:
+
+    python bench.py [vit_encode|decode|projector]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINES = {
+    "vit_encode_frames_per_sec": 2000.0,  # BASELINE.json north star
+    "qwen2_7b_decode_tokens_per_sec": 30.0,
+    "projector_clips_per_sec": 0.0,
+}
+
+
+def _timeit(fn, *args, warmup=2, iters=5):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_vit_encode(batch: int = 64):
+    import jax
+    import jax.numpy as jnp
+
+    from ufvideo_tpu.configs import SiglipVisionConfig
+    from ufvideo_tpu.models.siglip import SiglipVisionTower
+
+    cfg = SiglipVisionConfig()
+    model = SiglipVisionTower(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.bfloat16),
+        )["params"]
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    frames = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (batch, cfg.image_size, cfg.image_size, 3),
+        jnp.bfloat16,
+    )
+    fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    dt = _timeit(fn, params, frames)
+    fps = batch / dt
+    return "vit_encode_frames_per_sec", fps, "frames/s/chip"
+
+
+def bench_projector(batch: int = 4, frames: int = 32):
+    import jax
+    import jax.numpy as jnp
+
+    from ufvideo_tpu.configs import ProjectorConfig
+    from ufvideo_tpu.models.projector import build_projector
+
+    cfg = ProjectorConfig()
+    model = build_projector(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, frames, 729, 1152), jnp.bfloat16
+    )
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x)["params"])
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    fn = jax.jit(lambda p, v: model.apply({"params": p}, v))
+    dt = _timeit(fn, params, x)
+    return "projector_clips_per_sec", batch / dt, "clips/s/chip"
+
+
+def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
+    """7B greedy decode throughput (tokens/sec/chip)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ufvideo_tpu.configs import Qwen2Config
+    from ufvideo_tpu.models.generate import greedy_generate
+    from ufvideo_tpu.models.qwen2 import Qwen2LM
+
+    cfg = Qwen2Config()
+    if os.environ.get("UFVIDEO_BENCH_SMALL", "") == "1":
+        cfg = dataclasses.replace(cfg, num_layers=4)
+    model = Qwen2LM(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))[
+            "params"
+        ]
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, prompt_len, cfg.hidden_size), jnp.bfloat16
+    )
+    seq_lens = jnp.full((batch,), prompt_len, jnp.int32)
+
+    def run():
+        # stop_ids unreachable (-1): measures the full new_tokens loop
+        return greedy_generate(
+            model, params, embeds, seq_lens,
+            max_new_tokens=new_tokens, stop_ids=(-1,),
+            cache_max_len=prompt_len + new_tokens,
+        ).tokens
+
+    dt = _timeit(run, warmup=1, iters=3)
+    tps = batch * new_tokens / dt
+    return "qwen2_7b_decode_tokens_per_sec", tps, "tokens/s/chip"
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "vit_encode"
+    fn = {
+        "vit_encode": bench_vit_encode,
+        "projector": bench_projector,
+        "decode": bench_decode,
+    }[which]
+    metric, value, unit = fn()
+    baseline = BASELINES.get(metric, 0.0)
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 2),
+                "unit": unit,
+                "vs_baseline": round(float(value) / baseline, 4) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,11 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+if not RUN_TPU:
+    # The axon sitecustomize imports jax and pins the TPU platform at
+    # interpreter startup, so the env var alone is not enough — force the
+    # platform through the live config.
+    jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,87 @@
+"""Region encoder: token_merge parity with the reference algorithm and
+mask-pooling correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ufvideo_tpu.models.region_encoder import (
+    extract_region_tokens,
+    mask_pool,
+    token_merge_static,
+)
+
+
+def reference_token_merge(x: np.ndarray, r: int) -> np.ndarray:
+    """Direct numpy re-statement of the reference greedy merge
+    (layer.py:6-33) for test oracle purposes."""
+    n = x.shape[0]
+    x1, x2 = x[:-1], x[1:]
+    n1 = x1 / np.linalg.norm(x1, axis=-1, keepdims=True)
+    n2 = x2 / np.linalg.norm(x2, axis=-1, keepdims=True)
+    sim = np.sum(n1 * n2, axis=-1)
+    kth = np.sort(sim)[::-1][r - 1]
+    new_tokens, merged = [], []
+    for i in range(n - 1):
+        merged.append(x[i])
+        if sim[i] < kth:
+            new_tokens.append(np.mean(merged, axis=0))
+            merged = []
+    merged.append(x[n - 1])
+    new_tokens.append(np.mean(merged, axis=0))
+    return np.stack(new_tokens)
+
+
+def test_token_merge_matches_reference():
+    rng = np.random.RandomState(0)
+    for n in (5, 7, 11):
+        r_out = 4
+        x = rng.randn(n, 8).astype(np.float32)
+        ref = reference_token_merge(x, n - r_out)
+        got, valid = token_merge_static(
+            jnp.asarray(x), jnp.ones((n,), bool), r_out
+        )
+        assert ref.shape[0] == r_out
+        assert bool(jnp.all(valid))
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_token_merge_fewer_than_budget():
+    x = np.random.RandomState(1).randn(6, 8).astype(np.float32)
+    valid = jnp.array([True, True, True, False, False, False])
+    got, out_valid = token_merge_static(jnp.asarray(x), valid, 4)
+    # only 3 valid tokens → 3 output segments, each a single token
+    assert np.asarray(out_valid).tolist() == [True, True, True, False]
+    np.testing.assert_allclose(np.asarray(got[:3]), x[:3], atol=1e-6)
+
+
+def test_mask_pool():
+    feats = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    masks = jnp.zeros((2, 4, 4)).at[0, :2, :2].set(1.0).at[1].set(1.0)
+    pooled = mask_pool(feats, masks)
+    manual0 = np.asarray(feats[0, :2, :2]).reshape(-1, 3).mean(0)
+    manual1 = np.asarray(feats[1]).reshape(-1, 3).mean(0)
+    np.testing.assert_allclose(np.asarray(pooled[0]), manual0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled[1]), manual1, rtol=1e-5)
+
+
+def test_extract_region_tokens_shapes():
+    f, p, c = 6, 16, 8
+    feats = jax.random.normal(jax.random.PRNGKey(0), (f, p, c))
+    masks = (jax.random.uniform(jax.random.PRNGKey(1), (f, 32, 32)) > 0.5)
+    frame_valid = jnp.array([True] * 5 + [False])
+    # region 0 owns frames 0-2, region 1 owns frames 3-4
+    segments = jnp.array(
+        [
+            [True, True, True, False, False, False],
+            [False, False, False, True, True, False],
+        ]
+    )
+    toks, valid = extract_region_tokens(
+        feats, masks.astype(jnp.float32), frame_valid, segments, 4
+    )
+    assert toks.shape == (2, 4, c)
+    assert np.asarray(valid).tolist() == [
+        [True, True, True, False],
+        [True, True, False, False],
+    ]

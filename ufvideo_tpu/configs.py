@@ -250,7 +250,7 @@ def tiny_config() -> UFVideoConfig:
         region=RegionEncoderConfig(encoder_hidden_size=32, hidden_size=64),
         sam=SAM2Config(
             hiera=SAM2HieraConfig(
-                embed_dim=16, num_heads=1, stages=(1, 1, 1, 1),
+                embed_dim=16, num_heads=1, stages=(1, 2, 1, 1),
                 global_att_blocks=(2,), window_spec=(4, 2, 4, 2),
                 image_size=128,
             ),

@@ -1,0 +1,173 @@
+"""Region encoder: mask-pooled object tokens, TPU-native.
+
+Re-implements the reference's MaskExtractor/MaskPooling/token_merge
+(reference: ufvideo/model/layer.py:6-152) with static shapes:
+
+- ``mask_pool``: average vision-tower features over each (resized) binary
+  mask (layer.py:135-152) — batched einsum, no Python loops.
+- ``token_merge_static``: the reference greedily merges adjacent tokens with
+  the highest cosine similarity until ``region_token_num`` remain
+  (layer.py:6-33, called at :116). That loop is data-dependent; here it is
+  reformulated as a fixed-shape segmented mean: the (n-r) smallest-similarity
+  boundaries are kept as segment breaks, tokens between breaks are averaged.
+  Matches the reference exactly whenever adjacent-pair similarities are
+  distinct (the generic case for float features); exact ties differ only in
+  which of the tied boundaries merges.
+- ``RegionProjector``: the 2-layer MLP to LLM width (layer.py:54-59).
+
+Per-sample object/annotation-frame counts become static budgets with
+validity masks (SURVEY §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import RegionEncoderConfig
+
+
+def mask_pool(
+    feats: jnp.ndarray,  # [N, H, W, C] vision features (frame grid)
+    masks: jnp.ndarray,  # [N, H, W] binary masks resized to the grid
+) -> jnp.ndarray:
+    """Masked average pool per (frame, mask) pair → [N, C].
+
+    The reference thresholds mask > 0 then normalizes by area + 1e-8
+    (layer.py:143-147).
+    """
+    m = (masks > 0).astype(jnp.float32)
+    denom = jnp.sum(m, axis=(1, 2)) + 1e-8
+    pooled = jnp.einsum("nhwc,nhw->nc", feats.astype(jnp.float32), m)
+    return pooled / denom[:, None]
+
+
+def resize_mask_to_grid(masks: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """Bilinear-resize full-res masks [N, H, W] to the patch grid, matching
+    the reference's F.interpolate(mode='bilinear', align_corners=False)
+    (layer.py:137-139)."""
+    n = masks.shape[0]
+    return jax.image.resize(
+        masks.astype(jnp.float32), (n, grid, grid), method="bilinear"
+    )
+
+
+def token_merge_static(
+    tokens: jnp.ndarray,  # [n, d] pooled tokens for ONE object (n static)
+    valid: jnp.ndarray,  # [n] bool — which tokens are real
+    out_tokens: int,  # static output budget r
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge ``tokens`` down to at most ``out_tokens`` segments by averaging
+    runs of adjacent high-similarity tokens; returns ([out_tokens, d] merged,
+    [out_tokens] validity).
+
+    Matches reference semantics (layer.py:6-33): compute cosine similarity of
+    adjacent pairs; the reference removes the r_remove = n - out_tokens
+    highest-similarity boundaries (merging across them) and splits at the
+    rest.
+    """
+    n, d = tokens.shape
+    if n <= 1 or out_tokens >= n:
+        pad = out_tokens - n
+        if pad >= 0:
+            return (
+                jnp.pad(tokens, ((0, pad), (0, 0))),
+                jnp.pad(valid, (0, pad)),
+            )
+
+    tf = tokens.astype(jnp.float32)
+    norm = tf / jnp.maximum(
+        jnp.linalg.norm(tf, axis=-1, keepdims=True), 1e-12
+    )
+    sim = jnp.sum(norm[:-1] * norm[1:], axis=-1)  # [n-1]
+    # invalid boundary (either side padding) → force split score very low so
+    # padding never merges into real tokens
+    pair_valid = jnp.logical_and(valid[:-1], valid[1:])
+    sim = jnp.where(pair_valid, sim, -jnp.inf)
+
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # number of boundaries to merge away among the valid ones
+    r_remove = jnp.clip(n_valid - out_tokens, 0, n - 1)
+
+    # a boundary i is a *split* iff sim[i] is among the (n_valid-1-r_remove)
+    # smallest of valid boundaries. Rank boundaries by similarity descending;
+    # top r_remove ranks are merged. Ties: torch.topk prefers earlier flat
+    # index, replicate by tie-breaking on position.
+    order = jnp.argsort(-sim, stable=True)  # descending, earlier wins ties
+    rank = jnp.zeros((n - 1,), jnp.int32).at[order].set(
+        jnp.arange(n - 1, dtype=jnp.int32)
+    )
+    merged_boundary = rank < r_remove  # True → do NOT split here
+
+    # segment id per token: cumulative count of split boundaries before it
+    split = jnp.logical_and(~merged_boundary, pair_valid)
+    seg_id = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(split.astype(jnp.int32))]
+    )  # [n]
+
+    # segmented mean over out_tokens buckets
+    one_hot = jax.nn.one_hot(seg_id, out_tokens, dtype=jnp.float32)
+    one_hot = one_hot * valid[:, None].astype(jnp.float32)
+    counts = jnp.sum(one_hot, axis=0)  # [out_tokens]
+    sums = jnp.einsum("nd,nr->rd", tf, one_hot)
+    merged = sums / jnp.maximum(counts[:, None], 1.0)
+    out_valid = counts > 0
+    return merged.astype(tokens.dtype), out_valid
+
+
+class RegionProjector(nn.Module):
+    """2-layer MLP: vision width → LLM width (layer.py:54-59 feat_linear)."""
+
+    cfg: RegionEncoderConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.cfg.hidden_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="fc0",
+        )(x.astype(self.dtype))
+        for i in range(1, self.cfg.depth):
+            x = nn.gelu(x, approximate=True)
+            x = nn.Dense(
+                self.cfg.hidden_size, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"fc{2 * i}",
+            )(x)
+        return x
+
+
+def extract_region_tokens(
+    frame_feats: jnp.ndarray,  # [F, P, C] features of annotated frames
+    masks: jnp.ndarray,  # [F, Hm, Wm] full-res binary masks (one per frame)
+    frame_valid: jnp.ndarray,  # [F] bool — padding frames are False
+    region_segments: jnp.ndarray,  # [R, F] bool — frames belonging to region r
+    region_token_num: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape equivalent of MaskExtractor.forward (layer.py:63-128).
+
+    Each *region* (one ``<region>`` placeholder) owns a subset of the F
+    annotated frames (the reference's ``ann_indices``). Per region: pool mask
+    features per frame, then token-merge down to ``region_token_num`` tokens.
+
+    Returns ([R, region_token_num, C] tokens, [R, region_token_num] valid).
+    """
+    f, p, c = frame_feats.shape
+    grid = int(round(p ** 0.5))
+    feats_grid = frame_feats.reshape(f, grid, grid, c)
+    masks_grid = resize_mask_to_grid(masks, grid)
+    pooled = mask_pool(feats_grid, masks_grid)  # [F, C]
+
+    def per_region(seg_mask):  # [F] bool
+        # gather this region's frames to the front (order preserved)
+        sel = seg_mask & frame_valid
+        idx = jnp.argsort(~sel, stable=True)  # True first
+        toks = pooled[idx]
+        valid = sel[idx]
+        return token_merge_static(toks, valid, region_token_num)
+
+    tokens, valid = jax.vmap(per_region)(region_segments)
+    return tokens.astype(frame_feats.dtype), valid

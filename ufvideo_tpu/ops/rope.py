@@ -82,13 +82,13 @@ def axial_rope_cos_sin(
     freqs = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 4, dtype=jnp.float32)[:quarter] / head_dim)
     )
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    # token order is row-major (y, x)
-    grid_y = jnp.repeat(ys, w)  # [h*w]
-    grid_x = jnp.tile(xs, h)  # [h*w]
-    ang_y = grid_y[:, None] * freqs  # [hw, quarter]
+    # token order is row-major: t_x = t % w, t_y = t // w (sam2.py:1888-1893)
+    t = jnp.arange(h * w, dtype=jnp.float32)
+    grid_x = t % w
+    grid_y = jnp.floor(t / w)
     ang_x = grid_x[:, None] * freqs  # [hw, quarter]
-    # interleave y/x angle channels: pairs [y0, x0, y1, x1, ...]
-    ang = jnp.stack([ang_y, ang_x], axis=-1).reshape(h * w, 2 * quarter)
+    ang_y = grid_y[:, None] * freqs  # [hw, quarter]
+    # concat x-channels then y-channels over the complex dims
+    # (sam2.py:1895-1904 compute_axial_cis)
+    ang = jnp.concatenate([ang_x, ang_y], axis=-1)  # [hw, head_dim//2]
     return jnp.cos(ang), jnp.sin(ang)

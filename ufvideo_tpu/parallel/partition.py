@@ -50,8 +50,9 @@ def _spec_for(path: str, rules: Rules, ndim: int) -> P:
             if len(parts) > ndim:
                 # rule refers to more dims than the param has → replicate
                 return P()
-            # pad spec to param rank
-            return P(*(parts + (None,) * (ndim - len(parts))))
+            # right-align: scan-stacked params carry a leading layer axis
+            # ([L, in, out]) that must stay unsharded
+            return P(*((None,) * (ndim - len(parts)) + parts))
     return P()
 
 
