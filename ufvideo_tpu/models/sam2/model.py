@@ -183,7 +183,9 @@ class SAM2(nn.Module):
         c = cfg.sam_embed_dim
 
         spat_pos = position_embedding_sine(h, w, cfg.mem_dim).reshape(1, 1, hw, cfg.mem_dim)
-        tpos = self.maskmem_tpos_enc[mem_tpos_idx].reshape(1, m, 1, md)
+        tpos = jnp.take(
+            jnp.asarray(self.maskmem_tpos_enc), mem_tpos_idx, axis=0
+        ).reshape(1, m, 1, md)
         mem_pos = (spat_pos + tpos).astype(jnp.float32)
         mem_pos = jnp.broadcast_to(mem_pos, (b, m, hw, md)).reshape(b, m * hw, md)
         memory = mem_feats.reshape(b, m * hw, md)
