@@ -33,6 +33,21 @@ def _timeit(fn, *args, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def _random_params(shapes, scale=0.02):
+    """Random (not zero!) params: all-zeros weights let parts of the stack
+    short-circuit and wildly overstate throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+    vals = [
+        (scale * jax.random.normal(k, s.shape, jnp.float32)).astype(s.dtype)
+        for k, s in zip(keys, leaves)
+    ]
+    return jax.tree.unflatten(treedef, vals)
+
+
 def bench_vit_encode(batch: int = 64):
     import jax
     import jax.numpy as jnp
@@ -48,7 +63,7 @@ def bench_vit_encode(batch: int = 64):
             jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.bfloat16),
         )["params"]
     )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = _random_params(shapes)
     frames = jax.random.normal(
         jax.random.PRNGKey(1),
         (batch, cfg.image_size, cfg.image_size, 3),
@@ -73,7 +88,7 @@ def bench_projector(batch: int = 4, frames: int = 32):
         jax.random.PRNGKey(0), (batch, frames, 729, 1152), jnp.bfloat16
     )
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x)["params"])
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = _random_params(shapes)
     fn = jax.jit(lambda p, v: model.apply({"params": p}, v))
     dt = _timeit(fn, params, x)
     return "projector_clips_per_sec", batch / dt, "clips/s/chip"
@@ -99,7 +114,7 @@ def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
             "params"
         ]
     )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = _random_params(shapes)
     embeds = jax.random.normal(
         jax.random.PRNGKey(1), (batch, prompt_len, cfg.hidden_size), jnp.bfloat16
     )

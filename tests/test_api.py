@@ -1,0 +1,77 @@
+"""End-to-end mm_infer smoke tests on the tiny config (random weights)."""
+
+import numpy as np
+import pytest
+
+from ufvideo_tpu.api import mm_infer, model_init
+from ufvideo_tpu.configs import tiny_config
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    return model_init(None, cfg=tiny_config())
+
+
+def _video(cfg, t=None):
+    t = t or cfg.budget.num_frames
+    rng = np.random.RandomState(0)
+    return rng.randn(t, cfg.vision.image_size, cfg.vision.image_size, 3).astype(
+        np.float32
+    )
+
+
+def _sam_video(cfg, t=3):
+    rng = np.random.RandomState(1)
+    s = cfg.sam.hiera.image_size
+    return rng.randn(t, s, s, 3).astype(np.float32)
+
+
+def test_mm_infer_text_generation(runtime):
+    model, _, tokenizer = runtime
+    cfg = model.cfg
+    text, out = mm_infer(
+        _video(cfg), "What happens?", model, tokenizer,
+        modal="video", max_new_tokens=4,
+    )
+    assert isinstance(text, str)
+    assert 1 <= len(out["output"]) <= 4
+    assert out["pred_masks"] == []
+
+
+def test_mm_infer_with_regions(runtime):
+    model, _, tokenizer = runtime
+    cfg = model.cfg
+    v = cfg.vision.image_size
+    frames = np.random.RandomState(2).randn(2, v, v, 3).astype(np.float32)
+    masks = (np.random.RandomState(3).rand(2, 24, 24) > 0.5).astype(np.float32)
+    text, out = mm_infer(
+        _video(cfg), "Describe <region> and <region>.", model, tokenizer,
+        modal="video", masks=masks, ann_indices=[[0], [1]], frame=frames,
+        max_new_tokens=3,
+    )
+    assert isinstance(text, str)
+
+
+def test_mm_infer_seg_path_b(runtime):
+    """[SEG] in the input (choice=3 conversation) → single forward + SAM2."""
+    model, _, tokenizer = runtime
+    cfg = model.cfg
+    conv = [
+        {"from": "human", "value": "<video>\nPlease segment the cat."},
+        {"from": "gpt", "value": "It is [SEG]."},
+    ]
+    out = mm_infer(
+        _video(cfg), conv, model, tokenizer, modal="video", choice=3,
+        images_sam=_sam_video(cfg), label_size=(48, 64), seg=True,
+    )
+    assert len(out["pred_masks"]) == 1
+    assert out["pred_masks"][0].shape == (3, 48, 64)
+    assert out["pred_masks"][0].dtype == bool
+
+
+def test_mm_infer_text_only(runtime):
+    model, _, tokenizer = runtime
+    text, _ = mm_infer(
+        None, "hello", model, tokenizer, modal="text", max_new_tokens=2,
+    )
+    assert isinstance(text, str)

@@ -1,0 +1,372 @@
+"""Public inference API: ``model_init`` and ``mm_infer``.
+
+Mirrors the reference's entry points (reference: ufvideo/__init__.py:14
+model_init, :34-149 mm_infer): same prompt-assembly choices, multimodal
+tokenization, greedy decoding with eos stop, and the two [SEG] paths —
+post-hoc extraction from generated tokens (videorefer_qwen2.py:405-459) and
+input-[SEG] single-forward extraction (:461-518) — both feeding the SAM2
+video propagator.
+
+Device work is organized as a small set of jitted stages with static shapes
+(budgets from the config); all dynamic bookkeeping happens host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import UFVideoConfig
+from .constants import (
+    DEFAULT_IMAGE_TOKEN,
+    DEFAULT_VIDEO_TOKEN,
+    MODAL_INDEX_MAP,
+)
+from .mm_utils import tokenizer_multimodal_token
+from .models.generate import forward_hidden, greedy_generate
+from .models.sam2 import SAM2
+from .models.sam2.video import (
+    encode_video_frames,
+    masks_to_video_res,
+    propagate_video,
+)
+from .models.ufvideo import UFVideoModel
+from .splicing import plan_splice
+from .tokenization import SpecialIds, byte_tokenizer_with_ids
+
+
+class UFVideoRuntime:
+    """Owns the composite model + SAM2 + params and the jitted stages."""
+
+    def __init__(self, cfg: UFVideoConfig, params: Dict[str, Any], ids: SpecialIds):
+        self.cfg = cfg
+        self.params = params
+        self.ids = ids
+        self.model = UFVideoModel(cfg)
+        self.sam = SAM2(
+            cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype
+        )
+        self._encode_video = jax.jit(
+            lambda p, x: self.model.encode_video(p, x)
+        )
+        self._encode_regions = jax.jit(
+            lambda p, f, m, fv, seg: self.model.encode_regions(p, f, m, fv, seg)
+        )
+        self._splice = jax.jit(
+            lambda p, ids_, kind, idx, v, r: self.model.splice_embeds(
+                p, ids_, kind, idx, v, r
+            )
+        )
+        self._seg_embed = jax.jit(
+            lambda p, h: self.model.seg_embeddings(p, h)
+        )
+
+    # -------------------- encoders --------------------
+
+    def encode_video(self, pixels: np.ndarray) -> jnp.ndarray:
+        """[B, T, H, W, 3] SigLIP-preprocessed frames → video tokens."""
+        return self._encode_video(self.params, jnp.asarray(pixels))
+
+    def pack_and_encode_regions(
+        self,
+        frame_pixels: np.ndarray,  # [F_actual, H, W, 3] annotated frames
+        masks: np.ndarray,  # [F_actual, Hm, Wm] binary masks
+        ann_indices: Sequence[Sequence[int]],  # frames per region
+    ):
+        """Reference-style (frame, masks, ann_indices) → static region
+        tokens. Returns (region_feats [1, R*rt, D], region_token_counts)."""
+        cfg = self.cfg
+        rt = cfg.region.region_token_num
+        f_budget = max(len(frame_pixels), 1)
+        r_budget = max(len(ann_indices), 1)
+
+        fp = np.zeros((1, f_budget) + frame_pixels.shape[1:], np.float32)
+        fp[0, : len(frame_pixels)] = frame_pixels
+        mk = np.zeros((1, f_budget) + masks.shape[1:], np.float32)
+        mk[0, : len(masks)] = masks
+        fv = np.zeros((1, f_budget), bool)
+        fv[0, : len(frame_pixels)] = True
+        seg = np.zeros((1, r_budget, f_budget), bool)
+        for r, idxs in enumerate(ann_indices):
+            for i in idxs:
+                seg[0, r, i] = True
+
+        feats, _ = self._encode_regions(
+            self.params, jnp.asarray(fp), jnp.asarray(mk),
+            jnp.asarray(fv), jnp.asarray(seg),
+        )
+        counts = [min(len(idxs), rt) for idxs in ann_indices]
+        return feats, counts
+
+    # -------------------- generation --------------------
+
+    def generate(
+        self,
+        input_ids: List[int],
+        video_feats: Optional[jnp.ndarray],
+        region_feats: Optional[jnp.ndarray] = None,
+        region_token_counts: Optional[List[int]] = None,
+        max_new_tokens: int = 128,
+    ):
+        """Greedy decode. Returns (generated ids list, hidden states of the
+        steps that produced them [N, hidden], spliced plan)."""
+        cfg = self.cfg
+        plan = plan_splice(
+            [input_ids],
+            num_video_tokens=video_feats.shape[1] if video_feats is not None else 0,
+            region_token_counts=[region_token_counts or []],
+            region_token_id=self.ids.region,
+            max_seq_len=cfg.budget.max_seq_len,
+            region_stride=cfg.region.region_token_num,
+        )
+        embeds = self._splice(
+            self.params,
+            jnp.asarray(plan.text_ids),
+            jnp.asarray(plan.src_kind),
+            jnp.asarray(plan.src_idx),
+            video_feats,
+            region_feats,
+        )
+        res = greedy_generate(
+            self.model.llm,
+            self.params["llm"],
+            embeds,
+            jnp.asarray(plan.seq_lens),
+            max_new_tokens=max_new_tokens,
+            stop_ids=(self.ids.eos,),
+            cache_max_len=cfg.budget.max_seq_len + max_new_tokens,
+            vocab_size=cfg.llm.vocab_size,
+        )
+        n = int(res.gen_lens[0])
+        tokens = np.asarray(res.tokens[0, :n])
+        hidden = res.hidden[0, :n]
+        return tokens.tolist(), hidden, plan
+
+    def forward_hidden_states(self, plan, video_feats, region_feats=None):
+        embeds = self._splice(
+            self.params,
+            jnp.asarray(plan.text_ids),
+            jnp.asarray(plan.src_kind),
+            jnp.asarray(plan.src_idx),
+            video_feats,
+            region_feats,
+        )
+        return forward_hidden(
+            self.model.llm, self.params["llm"], embeds,
+            jnp.asarray(plan.seq_lens),
+        )
+
+    # -------------------- SAM2 --------------------
+
+    def segment_video(
+        self,
+        images_sam: np.ndarray,  # [T, 1024, 1024, 3] SAM-preprocessed
+        seg_embeddings: jnp.ndarray,  # [n_obj, 256]
+        out_height: int,
+        out_width: int,
+    ) -> np.ndarray:
+        """[SEG] embeddings → per-frame boolean masks [n_obj, T, H, W]
+        (reference language_embd_inference + upsample + sigmoid>0.5,
+        sam2.py:378-404, videorefer_qwen2.py:447-452)."""
+        feats = encode_video_frames(
+            self.sam, self.params["sam"], jnp.asarray(images_sam)
+        )
+        low = propagate_video(
+            self.sam, self.params["sam"], feats, seg_embeddings[:, None, :]
+        )
+        masks = masks_to_video_res(low, out_height, out_width)
+        return np.asarray(masks).transpose(1, 0, 2, 3)
+
+
+def model_init(
+    model_path: Optional[str] = None,
+    *,
+    cfg: Optional[UFVideoConfig] = None,
+    sam_path: Optional[str] = None,
+    tokenizer_path: Optional[str] = None,
+    **kwargs,
+):
+    """Build (runtime, processor, tokenizer) — the reference's model_init
+    contract (ufvideo/__init__.py:14-31).
+
+    With ``model_path`` None, returns a randomly-initialized runtime with the
+    byte tokenizer (offline smoke mode)."""
+    cfg = cfg or UFVideoConfig()
+
+    if tokenizer_path:
+        from .tokenization import load_tokenizer
+
+        tokenizer, ids = load_tokenizer(tokenizer_path)
+    else:
+        tokenizer, ids = byte_tokenizer_with_ids()
+
+    cfg = cfg.replace(
+        region_token_id=ids.region,
+        seg_token_id=ids.seg,
+        temporal_token_start_id=ids.temporal_start,
+    )
+
+    if model_path:
+        from .checkpoints import (
+            convert_full_checkpoint,
+            infer_vocab_size,
+            load_sam2_checkpoint,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(model_path)
+        cfg = cfg.replace(
+            llm=dataclasses.replace(cfg.llm, vocab_size=infer_vocab_size(sd))
+        )
+        sam_sd = load_sam2_checkpoint(sam_path) if sam_path else None
+        params = convert_full_checkpoint(sd, cfg, sam_sd)
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x, cfg.param_dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(x),
+            params,
+        )
+    else:
+        model = UFVideoModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        params["sam"] = SAM2(
+            cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype
+        ).init(
+            jax.random.PRNGKey(1),
+            jnp.zeros(
+                (1, cfg.sam.hiera.image_size, cfg.sam.hiera.image_size, 3),
+                jnp.float32,
+            ),
+        )["params"]
+
+    runtime = UFVideoRuntime(cfg, params, ids)
+    return runtime, None, tokenizer
+
+
+def mm_infer(
+    image_or_video,
+    instruct,
+    model: UFVideoRuntime,
+    tokenizer,
+    modal: str = "video",
+    masks=None,
+    ann_indices=None,
+    frame=None,
+    choice: int = 1,
+    images_sam=None,
+    label_size=None,
+    seg: bool = False,
+    **kwargs,
+):
+    """Reference-compatible inference entry (ufvideo/__init__.py:34-149).
+
+    image_or_video: [T, H, W, 3] preprocessed frames (numpy, NHWC).
+    """
+    cfg = model.cfg
+    modal_token = {
+        "image": DEFAULT_IMAGE_TOKEN, "video": DEFAULT_VIDEO_TOKEN, "text": ""
+    }[modal]
+
+    # 1. prompt assembly (choice semantics: __init__.py:70-104)
+    if choice in (1, 2):
+        if isinstance(instruct, str):
+            content = (
+                f"{modal_token}\n{instruct}" if choice == 1 else instruct
+            )
+            message = [{"role": "user", "content": content}]
+        else:
+            message = [dict(m) for m in instruct]
+            message[0]["content"] = f"{modal_token}\n" + message[0]["content"]
+    elif choice == 3:
+        roles = {"human": "user", "gpt": "assistant"}
+        message = [
+            {"role": roles.get(s["from"], s["from"]), "content": s["value"]}
+            for s in instruct
+        ]
+    else:
+        raise ValueError(f"unknown choice {choice}")
+
+    prompt = tokenizer.apply_chat_template(
+        message, tokenize=False, add_generation_prompt=True
+    )
+    input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_token)
+
+    # 2. vision encode
+    video_feats = None
+    if modal != "text":
+        pixels = np.asarray(image_or_video)
+        if modal == "image":
+            pixels = np.broadcast_to(
+                pixels[:1], (cfg.budget.num_frames,) + pixels.shape[1:]
+            )
+        video_feats = model.encode_video(pixels[None])
+
+    # 3. region tokens
+    region_feats, region_counts = None, None
+    if frame is not None and masks is not None:
+        region_feats, region_counts = model.pack_and_encode_regions(
+            np.asarray(frame), np.asarray(masks), ann_indices
+        )
+
+    max_new_tokens = int(kwargs.get("max_new_tokens", 1024))
+    seg_in_input = model.ids.seg in input_ids
+
+    if not seg_in_input:
+        # PATH A (videorefer_qwen2.py:405-459): generate, then post-hoc
+        # [SEG] extraction from generated steps
+        tokens, hidden, _ = model.generate(
+            input_ids, video_feats, region_feats, region_counts,
+            max_new_tokens=max_new_tokens,
+        )
+        output_text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
+
+        pred_masks = []
+        seg_steps = [i for i, t in enumerate(tokens) if t == model.ids.seg]
+        if seg_steps and images_sam is not None:
+            seg_hidden = hidden[jnp.asarray(seg_steps)]
+            embeds = model._seg_embed(model.params, seg_hidden)
+            h, w = label_size if label_size is not None else (
+                cfg.sam.hiera.image_size, cfg.sam.hiera.image_size
+            )
+            m = model.segment_video(np.asarray(images_sam), embeds, h, w)
+            pred_masks = [m[i] for i in range(m.shape[0])]
+
+        out = {"output": tokens, "pred_masks": pred_masks}
+        if seg:
+            return out
+        return output_text, out
+
+    # PATH B (videorefer_qwen2.py:461-518): [SEG] already in the input —
+    # single forward, offset-corrected [SEG] hidden states
+    plan = plan_splice(
+        [input_ids],
+        num_video_tokens=video_feats.shape[1] if video_feats is not None else 0,
+        region_token_counts=[region_counts or []],
+        region_token_id=model.ids.region,
+        max_seq_len=cfg.budget.max_seq_len,
+        region_stride=cfg.region.region_token_num,
+    )
+    hidden = model.forward_hidden_states(plan, video_feats, region_feats)
+    # hidden state at the position *before* each input [SEG] token
+    # (seg_token_mask shifted left, videorefer_qwen2.py:384-385,470-476)
+    seg_positions = [
+        int(plan.text_pos_map[0][ti]) - 1
+        for ti, t in enumerate(input_ids)
+        if t == model.ids.seg
+    ]
+    seg_positions = [p for p in seg_positions if p >= 0]
+    pred_masks = []
+    if seg_positions and images_sam is not None:
+        seg_hidden = hidden[0, jnp.asarray(seg_positions)]
+        embeds = model._seg_embed(model.params, seg_hidden)
+        h, w = label_size if label_size is not None else (
+            cfg.sam.hiera.image_size, cfg.sam.hiera.image_size
+        )
+        m = model.segment_video(np.asarray(images_sam), embeds, h, w)
+        pred_masks = [m[i] for i in range(m.shape[0])]
+    return {"output": None, "pred_masks": pred_masks, "gt_masks": masks}

@@ -85,6 +85,36 @@ class SAM2(nn.Module):
             "no_obj_ptr", nn.initializers.normal(0.02), (1, c), pt
         )
 
+    def __call__(self, images: jnp.ndarray):
+        """Init-coverage pass: touches every submodule so ``init`` creates
+        the full param tree (never used for real inference)."""
+        cfg = self.cfg
+        out = self.forward_image(images)
+        s0, s1, s2 = out["backbone_fpn"]
+        b = s2.shape[0]
+        h = w = cfg.sam_image_embedding_size
+        hw = h * w
+        pix = self.no_memory_features(
+            s2.reshape(b, hw, cfg.sam_embed_dim)
+        ).reshape(b, h, w, cfg.sam_embed_dim)
+        lang = jnp.zeros((b, 1, cfg.sam_embed_dim), self.dtype)
+        heads = self.forward_sam_heads(pix, [s0, s1], lang)
+        mem = self.encode_memory(
+            s2, heads.high_res_masks.transpose(0, 2, 3, 1)
+        )
+        tok_per_ptr = cfg.sam_embed_dim // cfg.mem_dim
+        cond = self.condition_on_memory(
+            s2.reshape(b, hw, cfg.sam_embed_dim),
+            out["vision_pos_enc"][2].reshape(b, hw, cfg.sam_embed_dim),
+            mem.reshape(b, 1, hw, cfg.mem_dim),
+            jnp.ones((b, 1), bool),
+            jnp.zeros((1,), jnp.int32),
+            heads.obj_ptr[:, None],
+            jnp.ones((b, 1), bool),
+            (h, w),
+        )
+        return heads.low_res_masks, cond
+
     # ------------------------------------------------------------------
     # image encoding
     # ------------------------------------------------------------------
