@@ -26,10 +26,11 @@ def _timeit(fn, *args, warmup=2, iters=5):
 
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
+    # block every iteration: duplicate in-flight dispatches can be coalesced
+    # by the runtime, which makes last-output-only timing meaningless
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 

@@ -1,0 +1,171 @@
+"""Shared benchmark inference driver.
+
+One driver core serves all 8 benchmarks (reference: 8 near-identical
+torchrun scripts, eval/inference_*.py): rank-chunked dataset, mm_infer loop,
+per-rank JSONL + per-frame PNG mask dump. Rank identity comes from env /
+JAX process info; no collectives (SURVEY §2d).
+
+CLI:
+    python -m ufvideo_tpu.eval.run --benchmark pixrqa \
+        --model-path ... --video-folder ... --question-file ... --output ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import traceback
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..api import mm_infer, model_init
+from .datasets import MCQABenchmark, SegReferBenchmark, TVGBenchmark
+from .metrics import match_mc_answer, parse_temporal_span
+from .util import JsonlWriter, get_chunk, get_rank_world, rank_output_path, save_mask_pngs
+
+PIXRQA_QUESTION = (
+    "There is 1 objects in the video: object_1: [<region>]. Please give a "
+    "detailed description of what is the object_1 doing in the video. And "
+    "please generate the mask in every frames?"
+)
+
+
+def _seg_refer_step(model, tokenizer, sample, args, choice=2, question=None):
+    q = question or sample["line"]["conversations"][0][0]["value"]
+    out = mm_infer(
+        sample["video"],
+        q,
+        model,
+        tokenizer,
+        modal="video",
+        masks=sample.get("masks"),
+        ann_indices=sample.get("ann_indices"),
+        frame=sample.get("frame"),
+        choice=choice,
+        images_sam=sample.get("images_sam"),
+        label_size=(sample["height"], sample["width"]),
+        max_new_tokens=args.max_new_tokens,
+    )
+    if isinstance(out, tuple):
+        text, extra = out
+    else:
+        text, extra = "", out
+    return text, extra
+
+
+def run_benchmark(args) -> None:
+    rank, world = get_rank_world()
+    model, _, tokenizer = model_init(
+        args.model_path or None,
+        sam_path=args.sam_path or None,
+        tokenizer_path=args.tokenizer_path or None,
+    )
+
+    questions = json.load(open(args.question_file))
+    questions = get_chunk(questions, args.num_chunks or world, rank)
+
+    writer = JsonlWriter(rank_output_path(args.output, rank))
+    mask_dir = os.path.splitext(args.output)[0] + "_masks"
+
+    bench = args.benchmark
+    if bench in ("pixrqa", "pixhqa", "pixtrqa", "videorefer_d", "videorefer_q"):
+        ds = SegReferBenchmark(
+            args.video_folder, questions,
+            num_sam_frames=args.num_sam_frames or None,
+        )
+        for i in range(len(ds)):
+            try:
+                sample = ds[i]
+                question = PIXRQA_QUESTION if bench == "pixrqa" else None
+                text, extra = _seg_refer_step(
+                    model, tokenizer, sample, args, question=question
+                )
+                rec: Dict[str, Any] = {
+                    "id": sample["id"],
+                    "video": sample["video_name"],
+                    "pred": text,
+                    "caption": sample.get("caption"),
+                }
+                if bench == "pixtrqa":
+                    rec["span"] = parse_temporal_span(text)
+                writer.write(rec)
+                if extra.get("pred_masks"):
+                    save_mask_pngs(mask_dir, sample["id"], extra["pred_masks"][0])
+            except Exception:
+                traceback.print_exc()
+    elif bench == "mvbench":
+        ds = MCQABenchmark(args.video_folder, questions)
+        for i in range(len(ds)):
+            try:
+                s = ds[i]
+                text, _ = mm_infer(
+                    s["video"], s["question"], model, tokenizer,
+                    modal="video", max_new_tokens=args.max_new_tokens,
+                )
+                writer.write(
+                    {
+                        "id": s["id"],
+                        "pred": match_mc_answer(text, s["options"]),
+                        "gt": s["gt"],
+                        "task_type": s["task_type"],
+                        "raw": text,
+                    }
+                )
+            except Exception:
+                traceback.print_exc()
+    elif bench == "tvg":
+        ds = TVGBenchmark(args.video_folder, questions)
+        for i in range(len(ds)):
+            try:
+                s = ds[i]
+                text, _ = mm_infer(
+                    s["video"], s["question"], model, tokenizer,
+                    modal="video", max_new_tokens=args.max_new_tokens,
+                )
+                writer.write(
+                    {"id": s["id"], "vid": s["vid"], "pred": text, "gt": s["gt"]}
+                )
+            except Exception:
+                traceback.print_exc()
+    elif bench == "mevis":
+        ds = SegReferBenchmark(args.video_folder, questions)
+        for i in range(len(ds)):
+            try:
+                sample = ds[i]
+                conv = sample["line"]["conversations"]
+                out = mm_infer(
+                    sample["video"], conv, model, tokenizer, modal="video",
+                    choice=3, images_sam=sample.get("images_sam"),
+                    label_size=(sample["height"], sample["width"]), seg=True,
+                )
+                writer.write({"id": sample["id"], "video": sample["video_name"]})
+                if out.get("pred_masks"):
+                    save_mask_pngs(mask_dir, sample["id"], out["pred_masks"][0])
+            except Exception:
+                traceback.print_exc()
+    else:
+        raise ValueError(f"unknown benchmark {bench}")
+    writer.close()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="UFVideo-TPU benchmark driver")
+    p.add_argument("--benchmark", required=True,
+                   choices=["pixrqa", "pixhqa", "pixtrqa", "tvg", "mevis",
+                            "mvbench", "videorefer_d", "videorefer_q"])
+    p.add_argument("--model-path", default="")
+    p.add_argument("--sam-path", default="")
+    p.add_argument("--tokenizer-path", default="")
+    p.add_argument("--video-folder", required=True)
+    p.add_argument("--question-file", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-chunks", type=int, default=0)
+    p.add_argument("--num-sam-frames", type=int, default=0)
+    p.add_argument("--max-new-tokens", type=int, default=1024)
+    return p
+
+
+if __name__ == "__main__":
+    run_benchmark(build_parser().parse_args())
