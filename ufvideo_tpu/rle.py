@@ -9,9 +9,38 @@ dependency; a C++ fast path can be dropped in behind the same API.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Union
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
+
+_NATIVE: Optional[ctypes.CDLL] = None
+_NATIVE_TRIED = False
+
+
+def _native() -> Optional[ctypes.CDLL]:
+    """Load (building on demand) the C++ codec; None → numpy fallback."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    csrc = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+    so = os.path.join(csrc, "librle_codec.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(
+                ["make", "-C", csrc], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(so)
+        lib.rle_decode.restype = ctypes.c_int
+        lib.rle_encode.restype = ctypes.c_int
+        lib.rle_area.restype = ctypes.c_int64
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
 
 
 def _decode_counts(s: Union[str, bytes]) -> List[int]:
@@ -60,6 +89,16 @@ def decode(rle: Dict) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):
+        lib = _native()
+        if lib is not None:
+            raw = counts.encode("ascii") if isinstance(counts, str) else counts
+            out = np.empty(h * w, np.uint8)
+            rc = lib.rle_decode(
+                raw, len(raw), h, w,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if rc == 0:
+                return out.reshape((h, w), order="F")
         counts = _decode_counts(counts)
     counts = np.asarray(counts, dtype=np.int64)
     values = np.zeros(len(counts), dtype=np.uint8)
@@ -73,6 +112,19 @@ def decode(rle: Dict) -> np.ndarray:
 def encode(mask: np.ndarray) -> Dict:
     """uint8/bool mask [h, w] → compressed RLE dict."""
     h, w = mask.shape
+    lib = _native()
+    if lib is not None:
+        flat = np.ascontiguousarray(
+            np.asarray(mask, np.uint8).reshape(-1, order="F")
+        )
+        cap = 16 + 8 * (h * w // 2 + 4)
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.rle_encode(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h, w, buf, cap,
+        )
+        if n >= 0:
+            return {"size": [h, w], "counts": buf.raw[:n].decode("ascii")}
     flat = np.asarray(mask, dtype=np.uint8).reshape(-1, order="F")
     # run boundaries
     change = np.nonzero(np.diff(flat))[0] + 1

@@ -1,0 +1,358 @@
+"""Training dataset and static-budget collator.
+
+Re-implements the reference's lazy supervised pipeline (reference:
+ufvideo/train.py:159-341 preprocess/preprocess_plain, :258-676
+LazySupervisedDataset, :678-732 DataCollatorForSupervisedDataset) with all
+dynamic shapes resolved host-side into the fixed budgets the pjit train step
+expects: spliced token layouts, per-region token counts, SAM frame/object
+slots with validity masks.
+
+Decoding (video, RLE) is host CPU work; the collator emits pure numpy.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import random
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .. import rle
+from ..configs import UFVideoConfig
+from ..constants import (
+    ANSWER_LIST,
+    DEFAULT_VIDEO_TOKEN,
+    IGNORE_INDEX,
+    QUESTION_LIST,
+)
+from ..conversation import apply_chat_template
+from ..mm_utils import process_video, sam_preprocess, tokenizer_multimodal_token
+from ..splicing import SplicePlan, plan_splice
+
+
+def preprocess_conversation(
+    source: Sequence[Dict[str, str]],
+    tokenizer,
+    modal_token: Optional[str],
+):
+    """ChatML conversation → (input_ids, labels) with per-round masking:
+    only assistant responses carry labels (reference: train.py:188-231)."""
+    roles = {"human": "user", "gpt": "assistant"}
+    if roles.get(source[0]["from"]) != "user":
+        source = source[1:]
+    message = [
+        {"role": roles[s["from"]], "content": s["value"]} for s in source
+    ]
+    conversation = apply_chat_template(message, add_generation_prompt=False)
+    input_ids = tokenizer_multimodal_token(conversation, tokenizer, modal_token)
+    labels = list(input_ids)
+
+    cur = 0
+    history: List[Dict] = []
+    for idx in range(1, len(source), 2):
+        pair = [
+            {"role": roles[source[idx - 1]["from"]], "content": source[idx - 1]["value"]},
+            {"role": roles[source[idx]["from"]], "content": source[idx]["value"]},
+        ]
+        instruction = apply_chat_template(
+            history + pair[:1], add_generation_prompt=True
+        )
+        full = apply_chat_template(history + pair, add_generation_prompt=False)
+        ins_len = len(tokenizer_multimodal_token(instruction, tokenizer, modal_token))
+        full_len = len(tokenizer_multimodal_token(full, tokenizer, modal_token))
+        for i in range(cur, min(ins_len, len(labels))):
+            labels[i] = IGNORE_INDEX
+        cur = full_len
+        history += pair
+    return input_ids, labels
+
+
+@dataclass
+class TrainSample:
+    input_ids: List[int]
+    labels: List[int]
+    video: np.ndarray  # [T, H, W, 3]
+    # region branch (optional)
+    region_frames: Optional[np.ndarray] = None  # [F, H, W, 3]
+    region_masks: Optional[np.ndarray] = None  # [F, Hm, Wm]
+    ann_indices: Optional[List[List[int]]] = None
+    # SAM branch (optional)
+    images_sam: Optional[np.ndarray] = None  # [Ts, 1024, 1024, 3]
+    gt_masks: Optional[np.ndarray] = None  # [n_obj, Ts, Hg, Wg]
+
+
+class SupervisedVideoDataset:
+    """Merged-JSON lazy dataset (reference: train.py:258-341).
+
+    Task branches covered: plain video QA / referring (region annotations),
+    templated classic segmentation (QUESTION_LIST/ANSWER_LIST,
+    train.py:543-597), and image samples (expanded to the frame budget).
+    Corrupt samples fall back to a random backup index (train.py:335-339).
+    """
+
+    def __init__(
+        self,
+        data_paths: Sequence[str],
+        tokenizer,
+        cfg: UFVideoConfig,
+        video_root: str = "",
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.video_root = video_root
+        self.rng = random.Random(seed)
+        self.records: List[Dict] = []
+        for p in data_paths:
+            data = json.load(open(p))
+            for r in data:
+                r["_source"] = os.path.basename(p)
+            self.records.extend(data)
+
+    def __len__(self):
+        return len(self.records)
+
+    def _dense_indices(self, total: int) -> List[int]:
+        """Random SAM frame subset (train.py:311-315 get_dense_indices)."""
+        n = self.cfg.budget.num_frames_sam
+        if total <= n:
+            return list(range(total)) + [max(total - 1, 0)] * (n - total)
+        return sorted(self.rng.sample(range(total), n))
+
+    def __getitem__(self, idx: int) -> TrainSample:
+        for attempt in range(8):
+            try:
+                return self._load(self.records[idx])
+            except Exception:
+                idx = self.rng.randrange(len(self.records))
+        raise RuntimeError("too many corrupt samples")
+
+    def _load(self, rec: Dict) -> TrainSample:
+        cfg = self.cfg
+        video_path = os.path.join(self.video_root, rec["video"])
+        conversations = rec["conversations"]
+        is_seg = "annotation" in rec and any(
+            "[SEG]" in s["value"] for s in conversations if s["from"] == "gpt"
+        )
+        has_regions = "annotation" in rec and any(
+            "<region>" in s["value"] for s in conversations
+        )
+
+        # classic-seg records may carry only a class name → template Q/A
+        # (train.py:543-597)
+        if rec.get("class_name") and not conversations:
+            q = self.rng.choice(QUESTION_LIST).format(class_name=rec["class_name"])
+            a = self.rng.choice(ANSWER_LIST)
+            conversations = [
+                {"from": "human", "value": f"{DEFAULT_VIDEO_TOKEN}\n{q}"},
+                {"from": "gpt", "value": a},
+            ]
+            is_seg = True
+
+        annotations = rec.get("annotation", [])
+        layout_frames: List[int] = []
+        ann_indices: List[List[int]] = []
+        if has_regions and annotations:
+            seen: Dict[int, int] = {}
+            for ann in annotations:
+                idxs = []
+                for f in ann.keys():
+                    fi = int(f)
+                    if fi not in seen:
+                        seen[fi] = len(seen)
+                        layout_frames.append(fi)
+                    idxs.append(seen[fi])
+                ann_indices.append(idxs)
+
+        video, dense, h, w, raw_dense = process_video(
+            video_path,
+            aspect_ratio="square",
+            num_frames=cfg.budget.num_frames,
+            frame_idx=layout_frames or None,
+        )
+
+        input_ids, labels = preprocess_conversation(
+            conversations, self.tokenizer, DEFAULT_VIDEO_TOKEN
+        )
+
+        sample = TrainSample(
+            input_ids=input_ids, labels=labels, video=video
+        )
+        if has_regions and annotations:
+            masks = []
+            for ann in annotations:
+                for f in ann.keys():
+                    seg_ann = ann[f].get("segmentation") if isinstance(ann[f], dict) else ann[f]
+                    masks.append(
+                        rle.ann_to_mask(seg_ann, h, w)
+                        if seg_ann is not None
+                        else np.zeros((h, w), np.uint8)
+                    )
+            sample.region_frames = dense
+            sample.region_masks = np.asarray(masks, np.float32)
+            sample.ann_indices = ann_indices
+
+        if is_seg:
+            from ..mm_utils import load_frames
+
+            total = cfg.budget.num_frames
+            sam_idx = self._dense_indices(total)
+            raw, _, _, _ = load_frames(video_path, num_frames=total)
+            sample.images_sam = sam_preprocess([raw[i] for i in sam_idx])
+            gt = []
+            for ann in annotations:
+                frames = []
+                keys = sorted(ann.keys(), key=int)
+                for i in sam_idx:
+                    k = keys[min(i, len(keys) - 1)]
+                    seg_ann = ann[k].get("segmentation") if isinstance(ann[k], dict) else ann[k]
+                    frames.append(
+                        rle.ann_to_mask(seg_ann, h, w)
+                        if seg_ann is not None
+                        else np.zeros((h, w), np.uint8)
+                    )
+                gt.append(np.stack(frames))
+            if gt:
+                sample.gt_masks = np.stack(gt).astype(np.float32)
+        return sample
+
+
+class Collator:
+    """Static-budget batch assembly (reference collator: train.py:678-732,
+    with the cross-batch ann_indices re-basing replaced by per-sample static
+    region slots)."""
+
+    def __init__(
+        self,
+        cfg: UFVideoConfig,
+        region_token_id: int,
+        seg_token_id: int,
+        loss_mask_size: int = 512,
+    ):
+        self.cfg = cfg
+        self.region_token_id = region_token_id
+        self.seg_token_id = seg_token_id
+        self.loss_mask_size = loss_mask_size
+
+    def __call__(self, samples: Sequence[TrainSample]) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        b = len(samples)
+        budget = cfg.budget
+        v = cfg.num_video_tokens
+        rt = cfg.region.region_token_num
+
+        region_counts = [
+            [min(len(ix), rt) for ix in (s.ann_indices or [])] for s in samples
+        ]
+        plan = plan_splice(
+            [s.input_ids for s in samples],
+            num_video_tokens=v,
+            region_token_counts=region_counts,
+            region_token_id=self.region_token_id,
+            max_seq_len=budget.max_seq_len,
+            labels=[s.labels for s in samples],
+            region_stride=rt,
+        )
+
+        pixels = np.stack([s.video for s in samples])
+        out: Dict[str, Any] = {
+            "pixels": pixels.astype(np.float32),
+            "text_ids": plan.text_ids,
+            "src_kind": plan.src_kind,
+            "src_idx": plan.src_idx,
+            "seq_lens": plan.seq_lens,
+            "labels": plan.labels,
+        }
+
+        # region branch padded to budgets
+        f_budget = max(
+            (len(s.region_frames) for s in samples if s.region_frames is not None),
+            default=0,
+        )
+        if f_budget:
+            r_budget = budget.max_regions
+            hw = samples[0].region_frames.shape[1]
+            mh, mw = 0, 0
+            for s in samples:
+                if s.region_masks is not None:
+                    mh = max(mh, s.region_masks.shape[1])
+                    mw = max(mw, s.region_masks.shape[2])
+            rf = np.zeros((b, f_budget, hw, hw, 3), np.float32)
+            rm = np.zeros((b, f_budget, mh, mw), np.float32)
+            fv = np.zeros((b, f_budget), bool)
+            seg = np.zeros((b, r_budget, f_budget), bool)
+            for bi, s in enumerate(samples):
+                if s.region_frames is None:
+                    continue
+                n = len(s.region_frames)
+                rf[bi, :n] = s.region_frames
+                for fi, m in enumerate(s.region_masks):
+                    rm[bi, fi, : m.shape[0], : m.shape[1]] = m
+                fv[bi, :n] = True
+                for ri, idxs in enumerate(s.ann_indices[: r_budget]):
+                    for i in idxs:
+                        seg[bi, ri, i] = True
+            out.update(
+                region_frames=rf, region_masks=rm,
+                region_frame_valid=fv, region_segments=seg,
+            )
+
+        # SAM branch padded to (max_objects, num_frames_sam); gt masks are
+        # resampled to a fixed loss resolution so the jitted step never
+        # recompiles on video size (the reference computes the mask loss at
+        # the native label resolution, videorefer_qwen2.py:299-305 — a
+        # documented deviation; dice/bce are resolution-normalized)
+        if any(s.images_sam is not None for s in samples):
+            import cv2
+
+            ts = budget.num_frames_sam
+            ss = cfg.sam.hiera.image_size
+            n_obj = budget.max_objects
+            gs = self.loss_mask_size
+            ims = np.zeros((b, ts, ss, ss, 3), np.float32)
+            gts = np.zeros((b, n_obj, ts, gs, gs), np.float32)
+            obj_valid = np.zeros((b, n_obj), bool)
+            for bi, s in enumerate(samples):
+                if s.images_sam is None:
+                    continue
+                ims[bi] = s.images_sam[:ts]
+                if s.gt_masks is not None:
+                    k = min(s.gt_masks.shape[0], n_obj)
+                    for oi in range(k):
+                        for ti in range(min(ts, s.gt_masks.shape[1])):
+                            gts[bi, oi, ti] = cv2.resize(
+                                s.gt_masks[oi, ti], (gs, gs),
+                                interpolation=cv2.INTER_NEAREST,
+                            )
+                    obj_valid[bi, :k] = True
+            out.update(images_sam=ims, gt_masks=gts, obj_valid=obj_valid)
+        return out
+
+
+def modality_length_groups(
+    lengths: Sequence[int], modalities: Sequence[bool], batch_size: int, seed: int = 0
+) -> List[int]:
+    """Length/modality-grouped sample order (reference:
+    videorefer_trainer.py:149-241 get_modality_length_grouped_indices):
+    multimodal and text-only samples are grouped separately, each sorted by
+    length within shuffled megabatches."""
+    rng = np.random.RandomState(seed)
+    mm = [i for i, m in enumerate(modalities) if m]
+    lang = [i for i, m in enumerate(modalities) if not m]
+
+    def grouped(indices: List[int]) -> List[int]:
+        idx = list(rng.permutation(indices))
+        mega = [
+            idx[i : i + batch_size * 50] for i in range(0, len(idx), batch_size * 50)
+        ]
+        out: List[int] = []
+        for m in mega:
+            out.extend(sorted(m, key=lambda i: -lengths[i]))
+        return out
+
+    order = grouped(mm) + grouped(lang)
+    return order

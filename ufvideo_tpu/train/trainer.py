@@ -1,0 +1,161 @@
+"""Training loop: stepping, checkpointing, resume, metrics logging.
+
+The TPU-native stand-in for the reference's HF Trainer + DeepSpeed stack
+(reference: videorefer_trainer.py VideoReferTrainer, train.py:749-969):
+grouped sampling, separate projector LR, periodic checkpoints with keep-N
+rotation, adapter-only artifacts when only the projector/region encoder are
+trainable, auto-resume, and per-step loss-dict logging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..checkpoints import latest_checkpoint, load_params, save_params
+from ..configs import UFVideoConfig
+from ..parallel.mesh import create_mesh
+from .data import Collator, SupervisedVideoDataset, modality_length_groups
+from .train_step import TrainState, make_optimizer, make_train_step
+
+
+@dataclass
+class TrainConfig:
+    output_dir: str = "checkpoints"
+    learning_rate: float = 2e-5
+    mm_projector_lr: Optional[float] = None
+    warmup_ratio: float = 0.03
+    total_steps: int = 10_000
+    global_batch_size: int = 8
+    save_steps: int = 100  # train_1121v1.sh:137
+    save_total_limit: int = 4  # train_1121v1.sh:139
+    log_steps: int = 1  # train_1121v1.sh:148
+    grad_clip: float = 1.0
+    group_by_modality_length: bool = True  # train_1121v1.sh grouped sampler
+    tune_adapters_only: bool = False
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        cfg: UFVideoConfig,
+        train_cfg: TrainConfig,
+        mesh=None,
+        loss_fn=None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.tc = train_cfg
+        self.mesh = mesh or create_mesh()
+        self.optimizer = make_optimizer(
+            train_cfg.learning_rate,
+            warmup_ratio=train_cfg.warmup_ratio,
+            total_steps=train_cfg.total_steps,
+            grad_clip=train_cfg.grad_clip,
+            mm_projector_lr=train_cfg.mm_projector_lr,
+        )
+        kwargs = {} if loss_fn is None else {"loss_fn": loss_fn}
+        self.init_fn, self.step_fn, self.shard_state = make_train_step(
+            model, self.optimizer, self.mesh, **kwargs
+        )
+        self._log_path = os.path.join(train_cfg.output_dir, "train_log.jsonl")
+
+    # ---------------- state ----------------
+
+    def init_state(self, params) -> TrainState:
+        state = self.init_fn(jax.random.PRNGKey(self.tc.seed), params)
+        with self.mesh:
+            return self.shard_state(state)
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        ckpt = latest_checkpoint(self.tc.output_dir)
+        if ckpt is None:
+            return state
+        restored = load_params(ckpt, state)
+        print(f"resumed from {ckpt} at step {int(restored.step)}")
+        return restored
+
+    # ---------------- checkpointing ----------------
+
+    def save(self, state: TrainState) -> None:
+        step = int(state.step)
+        path = os.path.join(self.tc.output_dir, f"checkpoint-{step}")
+        os.makedirs(self.tc.output_dir, exist_ok=True)
+        if self.tc.tune_adapters_only:
+            # adapter-only artifacts (videorefer_trainer.py:343-385)
+            adapters = {
+                k: state.params[k]
+                for k in ("projector", "region")
+                if k in state.params
+            }
+            save_params(path, adapters)
+        else:
+            save_params(path, state)
+        self._rotate()
+
+    def _rotate(self) -> None:
+        ckpts = sorted(
+            (
+                d for d in os.listdir(self.tc.output_dir)
+                if d.startswith("checkpoint-") and d.split("-")[-1].isdigit()
+            ),
+            key=lambda d: int(d.split("-")[-1]),
+        )
+        while len(ckpts) > self.tc.save_total_limit:
+            victim = os.path.join(self.tc.output_dir, ckpts.pop(0))
+            shutil.rmtree(victim, ignore_errors=True)
+
+    # ---------------- loop ----------------
+
+    def train(
+        self,
+        state: TrainState,
+        batches: Iterable,
+        max_steps: Optional[int] = None,
+    ) -> TrainState:
+        os.makedirs(self.tc.output_dir, exist_ok=True)
+        log = open(self._log_path, "a")
+        max_steps = max_steps or self.tc.total_steps
+        t0 = time.time()
+        with self.mesh:
+            for batch in batches:
+                if int(state.step) >= max_steps:
+                    break
+                state, metrics = self.step_fn(state, batch)
+                step = int(state.step)
+                if step % self.tc.log_steps == 0:
+                    rec = {
+                        "step": step,
+                        "time": round(time.time() - t0, 2),
+                        **{k: float(v) for k, v in metrics.items()},
+                    }
+                    log.write(json.dumps(rec) + "\n")
+                    log.flush()
+                if step % self.tc.save_steps == 0:
+                    self.save(state)
+        log.close()
+        return state
+
+
+def build_sample_order(
+    dataset: SupervisedVideoDataset, tc: TrainConfig
+) -> List[int]:
+    """Grouped sample order (reference grouped sampler,
+    videorefer_trainer.py:210-241)."""
+    lengths = [len(r.get("conversations", [])) for r in dataset.records]
+    modalities = [("video" in r or "image" in r) for r in dataset.records]
+    if tc.group_by_modality_length:
+        return modality_length_groups(
+            lengths, modalities, tc.global_batch_size, seed=tc.seed
+        )
+    rng = np.random.RandomState(tc.seed)
+    return list(rng.permutation(len(lengths)))
