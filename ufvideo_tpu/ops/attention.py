@@ -99,13 +99,19 @@ def attention(
     not worth a kernel; the hot paths use causal/kv_lens).
     """
     if impl == "auto":
-        use_pallas = (
-            _on_tpu()
-            and mask is None
-            and q.shape[1] >= 128
-            and k.shape[1] >= 128
-        )
-        impl = "pallas" if use_pallas else "xla"
+        import os
+
+        forced = os.environ.get("UFVIDEO_ATTN_IMPL")
+        if forced:
+            impl = forced
+        else:
+            use_pallas = (
+                _on_tpu()
+                and mask is None
+                and q.shape[1] >= 128
+                and k.shape[1] >= 128
+            )
+            impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention
 
