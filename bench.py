@@ -37,8 +37,11 @@ def _timeit_device_loop(step_fn, params, x, iters=8):
         @jax.jit
         def run(p, x0):
             def body(carry, _):
-                out = step_fn(p, x0 + carry.astype(x0.dtype) * 1e-6)
-                return jnp.sum(out).astype(jnp.float32), None
+                # bounded perturbation: keeps the chain un-elidable without
+                # growing the magnitude of unnormalized outputs
+                x = x0 * (1.0 + 1e-6 * jnp.tanh(carry)).astype(x0.dtype)
+                out = step_fn(p, x)
+                return jnp.mean(out.astype(jnp.float32)), None
 
             s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
             return s
@@ -83,7 +86,10 @@ def _random_params(shapes, scale=0.02):
     leaves, treedef = jax.tree.flatten(shapes)
     keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
     vals = [
-        (scale * jax.random.normal(k, s.shape, jnp.float32)).astype(s.dtype)
+        scale * jax.random.normal(
+            k, s.shape,
+            s.dtype if jnp.issubdtype(s.dtype, jnp.floating) else jnp.float32,
+        ).astype(s.dtype)
         for k, s in zip(keys, leaves)
     ]
     return jax.tree.unflatten(treedef, vals)

@@ -139,6 +139,46 @@ def infer_vocab_size(sd: Mapping) -> int:
     return int(sd["model.embed_tokens.weight"].shape[0])
 
 
+def merge_lora(
+    sd: Dict[str, Any],
+    adapter_sd: Mapping,
+    *,
+    alpha: Optional[float] = None,
+    r: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Merge PEFT LoRA adapters into the base state dict in place
+    (reference: model/__init__.py:82-106 loads adapter_model +
+    non_lora_trainables and merge_and_unload()s).
+
+    Adapter keys look like
+    ``base_model.model.<path>.lora_A.weight`` / ``.lora_B.weight``;
+    merged weight = W + (alpha / r) * B @ A.
+    """
+    import torch
+
+    lora_a = {
+        k.replace(".lora_A.weight", ""): v
+        for k, v in adapter_sd.items()
+        if k.endswith(".lora_A.weight")
+    }
+    for base_key, a in lora_a.items():
+        b = adapter_sd[base_key + ".lora_B.weight"]
+        target = base_key.removeprefix("base_model.model.") + ".weight"
+        if target not in sd:
+            continue
+        rr = r or a.shape[0]
+        scale = (alpha if alpha is not None else rr) / rr
+        w = sd[target].float()
+        sd[target] = (w + scale * (b.float() @ a.float())).to(sd[target].dtype)
+    # non-LoRA trainables (projector/region/text_fcs) override base entries
+    for k, v in adapter_sd.items():
+        if ".lora_" in k:
+            continue
+        kk = k.removeprefix("base_model.model.")
+        sd[kk] = v
+    return sd
+
+
 # --------------------------------------------------------------------------
 # native orbax checkpoints (train state / converted params)
 # --------------------------------------------------------------------------

@@ -34,6 +34,10 @@ PIXRQA_QUESTION = (
 
 def _seg_refer_step(model, tokenizer, sample, args, choice=2, question=None):
     q = question or sample["line"]["conversations"][0][0]["value"]
+    if args.benchmark == "videorefer_q":
+        # Q-bench wraps region tokens in brackets
+        # (reference: inference_videorefer_q_bench.py:91)
+        q = q.replace("<region>", "[<region>]")
     out = mm_infer(
         sample["video"],
         q,

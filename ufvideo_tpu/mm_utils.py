@@ -290,6 +290,27 @@ def tokenizer_multimodal_token(
     return input_ids
 
 
+def create_photo_grid(frames: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Tile T frames into a rows×cols grid image (mm_utils.py:57-105)."""
+    t, h, w, c = frames.shape
+    grid = np.zeros((rows * h, cols * w, c), frames.dtype)
+    for i in range(min(t, rows * cols)):
+        r, cc = divmod(i, cols)
+        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = frames[i]
+    return grid
+
+
+def trim_at_stop_strings(text: str, keywords: Sequence[str]) -> str:
+    """String-level stop trimming — the generality KeywordsStoppingCriteria
+    provides beyond eos-token stopping (mm_utils.py:418-449)."""
+    cut = len(text)
+    for kw in keywords:
+        pos = text.find(kw)
+        if pos != -1:
+            cut = min(cut, pos)
+    return text[:cut]
+
+
 def get_model_name_from_path(model_path: str) -> str:
     model_path = model_path.strip("/")
     parts = model_path.split("/")

@@ -97,16 +97,29 @@ class SiglipVisionTower(nn.Module):
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         b = pixels.shape[0]
-        x = nn.Conv(
-            cfg.hidden_size,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="patch_embedding",
-        )(pixels.astype(self.dtype))
-        x = x.reshape(b, cfg.num_patches, cfg.hidden_size)
+        p, g = cfg.patch_size, cfg.grid_size
+        # patchify as reshape + one MXU matmul: a VALID-strided conv over a
+        # 3-channel input wastes most of the lane dim; the equivalent
+        # [B*P, p*p*3] x [p*p*3, hidden] matmul runs at full tile density.
+        # Param layout stays conv-shaped ([kh, kw, in, out]) for checkpoint
+        # compatibility.
+        kernel = self.param(
+            "patch_embedding_kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, 3, cfg.hidden_size),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "patch_embedding_bias",
+            nn.initializers.zeros,
+            (cfg.hidden_size,),
+            self.param_dtype,
+        )
+        px = pixels[:, : g * p, : g * p, :].astype(self.dtype)
+        px = px.reshape(b, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        px = px.reshape(b, cfg.num_patches, p * p * 3)
+        w = kernel.astype(self.dtype).reshape(p * p * 3, cfg.hidden_size)
+        x = px @ w + bias.astype(self.dtype)
 
         pos = self.param(
             "position_embedding",

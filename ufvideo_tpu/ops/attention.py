@@ -44,14 +44,14 @@ def xla_attention(
     groups = hq // hkv
     scale = (d ** -0.5) if scale is None else scale
 
-    qf = q.astype(jnp.float32) * scale
+    # grouped-query layout: contract against the shared kv head directly —
+    # never materialize a repeated KV (groups x HBM traffic on decode)
+    qf = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, groups, d)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    if groups > 1:
-        kf = jnp.repeat(kf, groups, axis=2)
-        vf = jnp.repeat(vf, groups, axis=2)
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf)
+    logits = logits.reshape(b, hq, sq, skv)
 
     if causal:
         qi = jnp.arange(sq)[:, None]
@@ -77,8 +77,9 @@ def xla_attention(
     probs = jnp.exp(logits - row_max)
     denom = jnp.sum(probs, axis=-1, keepdims=True)
     probs = probs / jnp.maximum(denom, 1e-30)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
-    return out.astype(q.dtype)
+    probs = probs.reshape(b, hkv, groups, sq, skv)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
 def attention(

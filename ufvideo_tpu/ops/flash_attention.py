@@ -155,8 +155,17 @@ def flash_attention(
         kv_lens = jnp.full((b,), skv, dtype=jnp.int32)
     kv_lens = kv_lens.astype(jnp.int32)
 
-    block_q = min(block_q, _round_up(sq, 128))
-    block_kv = min(block_kv, _round_up(skv, 128))
+    # adaptive blocks: for short sequences one whole-sequence block both
+    # minimizes padding and amortizes pipeline fill (many tiny grid steps on
+    # a (B, H, nq, nk) grid are latency-bound)
+    if sq <= 1024:
+        block_q = _round_up(sq, 128)
+    else:
+        block_q = min(block_q, _round_up(sq, 128))
+    if skv <= 1024:
+        block_kv = _round_up(skv, 128)
+    else:
+        block_kv = min(block_kv, _round_up(skv, 128))
 
     # pad seq and head dims to hardware-friendly multiples; move to BHSD so
     # the last two block dims are (seq, head_dim) tiles

@@ -94,8 +94,11 @@ def convert_siglip(sd: Mapping, cfg: SiglipVisionConfig) -> Dict[str, Any]:
             },
         }
 
+    pe = _conv2d(sd, f"{p}.embeddings.patch_embedding")
     return {
-        "patch_embedding": _conv2d(sd, f"{p}.embeddings.patch_embedding"),
+        # patchify runs as reshape+matmul; kernel kept in conv layout
+        "patch_embedding_kernel": pe["kernel"],
+        "patch_embedding_bias": pe["bias"],
         "position_embedding": _np(sd[f"{p}.embeddings.position_embedding.weight"]),
         "layers": _stack_layers(cfg.num_encode_layers, layer),
     }
