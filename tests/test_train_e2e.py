@@ -50,8 +50,29 @@ def synthetic_root(tmp_path_factory):
     return root
 
 
+def _micro_config():
+    """Even smaller than tiny: the grad-of-everything train step is the
+    single biggest compile in the suite, and this host has one CPU core."""
+    import dataclasses
+
+    cfg = tiny_config()
+    return cfg.replace(
+        vision=dataclasses.replace(cfg.vision, num_layers=2),
+        llm=dataclasses.replace(cfg.llm, num_layers=1),
+        budget=dataclasses.replace(
+            cfg.budget, num_frames=2, num_frames_sam=1, max_seq_len=96
+        ),
+        sam=dataclasses.replace(
+            cfg.sam,
+            hiera=dataclasses.replace(cfg.sam.hiera, image_size=64),
+            sam_image_embedding_size=4,
+            mem_attn_rope_feat_sizes=(4, 4),
+        ),
+    )
+
+
 def test_training_two_steps(synthetic_root, tmp_path):
-    runtime, _, tokenizer = model_init(None, cfg=tiny_config())
+    runtime, _, tokenizer = model_init(None, cfg=_micro_config())
     cfg = runtime.cfg
 
     dataset = SupervisedVideoDataset(

@@ -165,7 +165,7 @@ class UFVideoRuntime:
 
     def segment_video(
         self,
-        images_sam: np.ndarray,  # [T, 1024, 1024, 3] SAM-preprocessed
+        images_sam: np.ndarray,  # [T, 1024, 1024, 3] SAM-preprocessed (or uint8 raw)
         seg_embeddings: jnp.ndarray,  # [n_obj, 256]
         out_height: int,
         out_width: int,
@@ -173,9 +173,16 @@ class UFVideoRuntime:
         """[SEG] embeddings → per-frame boolean masks [n_obj, T, H, W]
         (reference language_embd_inference + upsample + sigmoid>0.5,
         sam2.py:378-404, videorefer_qwen2.py:447-452)."""
-        feats = encode_video_frames(
-            self.sam, self.params["sam"], jnp.asarray(images_sam)
-        )
+        images_sam = np.asarray(images_sam)
+        if images_sam.dtype == np.uint8:
+            from .ops.image_pipeline import sam_preprocess_device
+
+            images = sam_preprocess_device(
+                jnp.asarray(images_sam), out_dtype=self.cfg.compute_dtype
+            )
+        else:
+            images = jnp.asarray(images_sam)
+        feats = encode_video_frames(self.sam, self.params["sam"], images)
         low = propagate_video(
             self.sam, self.params["sam"], feats, seg_embeddings[:, None, :]
         )
@@ -296,15 +303,23 @@ def mm_infer(
     )
     input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_token)
 
-    # 2. vision encode
+    # 2. vision encode (uint8 input → fused on-device resize+normalize,
+    # 4x less host→device traffic)
     video_feats = None
     if modal != "text":
         pixels = np.asarray(image_or_video)
-        if modal == "image":
-            pixels = np.broadcast_to(
-                pixels[:1], (cfg.budget.num_frames,) + pixels.shape[1:]
+        if pixels.dtype == np.uint8:
+            from .ops.image_pipeline import siglip_preprocess_device
+
+            pixels = siglip_preprocess_device(
+                jnp.asarray(pixels), out_dtype=cfg.compute_dtype
             )
-        video_feats = model.encode_video(pixels[None])
+        if modal == "image":
+            pixels = jnp.broadcast_to(
+                jnp.asarray(pixels)[:1],
+                (cfg.budget.num_frames,) + pixels.shape[1:],
+            )
+        video_feats = model.encode_video(jnp.asarray(pixels)[None])
 
     # 3. region tokens
     region_feats, region_counts = None, None

@@ -49,7 +49,9 @@ class RMSNorm(nn.Module):
 def make_kv_cache(
     cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> Dict[str, jnp.ndarray]:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    """KV cache in [L, B, Hkv, S, D] layout — (S, D) are the tiled trailing
+    dims the Pallas ragged decode kernel reads directly."""
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -87,21 +89,27 @@ class Qwen2DecoderLayer(nn.Module):
         if mode == "train":
             o = attention(q, k, v, causal=True, kv_lens=seq_lens)
         elif mode == "prefill":
+            # cache layout [B, Hkv, S, D]
             kc = jax.lax.dynamic_update_slice(
-                cache_layer["k"], k.astype(cache_layer["k"].dtype), (0, 0, 0, 0)
+                cache_layer["k"],
+                k.transpose(0, 2, 1, 3).astype(cache_layer["k"].dtype),
+                (0, 0, 0, 0),
             )
             vc = jax.lax.dynamic_update_slice(
-                cache_layer["v"], v.astype(cache_layer["v"].dtype), (0, 0, 0, 0)
+                cache_layer["v"],
+                v.transpose(0, 2, 1, 3).astype(cache_layer["v"].dtype),
+                (0, 0, 0, 0),
             )
             new_cache = {"k": kc, "v": vc}
             o = attention(q, k, v, causal=True, kv_lens=seq_lens)
         elif mode == "decode":
             # write this step's k/v at per-sequence position cache_len
-            bidx = jnp.arange(b)
-            kc = cache_layer["k"].at[bidx, cache_len].set(
+            bidx = jnp.arange(b)[:, None]
+            hidx = jnp.arange(cfg.num_kv_heads)[None, :]
+            kc = cache_layer["k"].at[bidx, hidx, cache_len[:, None]].set(
                 k[:, 0].astype(cache_layer["k"].dtype)
             )
-            vc = cache_layer["v"].at[bidx, cache_len].set(
+            vc = cache_layer["v"].at[bidx, hidx, cache_len[:, None]].set(
                 v[:, 0].astype(cache_layer["v"].dtype)
             )
             new_cache = {"k": kc, "v": vc}

@@ -134,12 +134,27 @@ def decode_attention(
 ) -> jnp.ndarray:
     """Single-step decode attention against a padded KV cache.
 
-    q: [B, 1, Hq, D]; k_cache/v_cache: [B, max_len, Hkv, D];
-    cache_len: [B] number of valid cache entries (including current step).
+    q: [B, 1, Hq, D]; k_cache/v_cache: [B, Hkv, max_len, D] (kernel-native
+    layout); cache_len: [B] valid entries (including the current step).
 
-    The cache-wide masked softmax is memory-bound and XLA fuses it well; a
-    Pallas paged variant can be swapped in here without touching callers.
+    Dispatches to the Pallas ragged decode kernel on TPU; XLA masked softmax
+    elsewhere.
     """
+    b, one, hq, d = q.shape
+    hkv = k_cache.shape[1]
+    groups = hq // hkv
+    if _on_tpu():
+        from .decode_attention import ragged_decode_attention
+
+        qg = q[:, 0].reshape(b, hkv, groups, d)
+        out = ragged_decode_attention(
+            qg, k_cache, v_cache, cache_len, scale=scale
+        )
+        return out.reshape(b, 1, hq, d)
     return xla_attention(
-        q, k_cache, v_cache, kv_lens=cache_len, scale=scale
+        q,
+        k_cache.transpose(0, 2, 1, 3),
+        v_cache.transpose(0, 2, 1, 3),
+        kv_lens=cache_len,
+        scale=scale,
     )
