@@ -135,6 +135,46 @@ def convert_full_checkpoint(
     return params
 
 
+def load_adapter_weights(path: str) -> Dict[str, Any]:
+    """mm_projector.bin / region_encoder.bin adapter loader
+    (reference: projector.py:49-63 load_mm_projector); strips the module
+    prefix so the converters apply directly."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    out = {}
+    for k, v in sd.items():
+        for prefix in ("model.mm_projector.", "mm_projector.",
+                       "model.region_encoder.", "region_encoder."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                break
+        out[k] = v
+    return out
+
+
+def convert_base_plus_adapters(
+    base_sd: Mapping,
+    cfg: UFVideoConfig,
+    projector_path: Optional[str] = None,
+    region_path: Optional[str] = None,
+    sam_sd: Optional[Mapping] = None,
+) -> Dict[str, Any]:
+    """The reference's pretrain loading path (model/__init__.py:107-123):
+    base LLM checkpoint + separately-saved adapter weights."""
+    params = convert_full_checkpoint(base_sd, cfg, sam_sd)
+    if projector_path:
+        params["projector"] = convert_stc_projector(
+            load_adapter_weights(projector_path),
+            depth=cfg.projector.depth, mlp_depth=cfg.projector.mlp_depth,
+        )
+    if region_path:
+        params["region"] = convert_region_encoder(
+            load_adapter_weights(region_path)
+        )
+    return params
+
+
 def infer_vocab_size(sd: Mapping) -> int:
     return int(sd["model.embed_tokens.weight"].shape[0])
 
