@@ -85,13 +85,14 @@ def _random_params(shapes, scale=0.02):
 
     leaves, treedef = jax.tree.flatten(shapes)
     keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
-    vals = [
-        scale * jax.random.normal(
-            k, s.shape,
-            s.dtype if jnp.issubdtype(s.dtype, jnp.floating) else jnp.float32,
-        ).astype(s.dtype)
-        for k, s in zip(keys, leaves)
-    ]
+    def gen(k, s):
+        if jnp.issubdtype(s.dtype, jnp.integer):
+            return jax.random.randint(k, s.shape, -127, 128, jnp.int32).astype(
+                s.dtype
+            )
+        return scale * jax.random.normal(k, s.shape, s.dtype)
+
+    vals = [gen(k, s) for k, s in zip(keys, leaves)]
     return jax.tree.unflatten(treedef, vals)
 
 
@@ -157,7 +158,10 @@ def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
     cfg = Qwen2Config()
     if os.environ.get("UFVIDEO_BENCH_SMALL", "") == "1":
         cfg = dataclasses.replace(cfg, num_layers=4)
-    model = Qwen2LM(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    quant = os.environ.get("UFVIDEO_BENCH_QUANT", "") == "1"
+    model = Qwen2LM(
+        cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, quant=quant
+    )
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))[
             "params"

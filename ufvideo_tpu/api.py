@@ -238,6 +238,10 @@ def model_init(
             else jnp.asarray(x),
             params,
         )
+        if cfg.quant_llm:
+            from .quant import quantize_qwen2_params
+
+            params["llm"] = quantize_qwen2_params(params["llm"])
     else:
         model = UFVideoModel(cfg)
         params = model.init_params(jax.random.PRNGKey(0))

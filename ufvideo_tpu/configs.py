@@ -223,6 +223,8 @@ class UFVideoConfig:
     # dtype policy: bf16 compute / fp32 master & reductions
     compute_dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
+    # int8 weight-only LLM (bnb 4/8-bit load parity; ufvideo_tpu.quant)
+    quant_llm: bool = False
 
     @property
     def num_video_tokens(self) -> int:

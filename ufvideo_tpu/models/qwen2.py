@@ -55,10 +55,42 @@ def make_kv_cache(
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+class QuantDense(nn.Module):
+    """Dense with int8 weights + per-output-channel fp32 scales (see
+    ufvideo_tpu.quant). The scale applies to the output, so the kernel is
+    read from HBM as int8."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        q = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (x.shape[-1], self.features), jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        y = jnp.dot(
+            x.astype(self.dtype), q.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * scale).astype(self.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.dtype
+            )
+            y = y + b
+        return y
+
+
 class Qwen2DecoderLayer(nn.Module):
     cfg: Qwen2Config
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, carry: Tuple, cache_layer: Optional[Dict], mode: str):
@@ -66,10 +98,15 @@ class Qwen2DecoderLayer(nn.Module):
         x, cos, sin, seq_lens, cache_len = carry
         b, s, _ = x.shape
 
-        dense = lambda feats, bias, name: nn.Dense(
-            feats, use_bias=bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name,
-        )
+        if self.quant:
+            dense = lambda feats, bias, name: QuantDense(
+                feats, use_bias=bias, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feats, bias, name: nn.Dense(
+                feats, use_bias=bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name,
+            )
         norm = lambda name: RMSNorm(
             cfg.rms_norm_eps, self.dtype, self.param_dtype, name=name
         )
@@ -141,6 +178,7 @@ class Qwen2LM(nn.Module):
     cfg: Qwen2Config
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    quant: bool = False  # int8 weight-only (ufvideo_tpu.quant)
 
     def setup(self):
         cfg = self.cfg
@@ -152,10 +190,16 @@ class Qwen2LM(nn.Module):
         self.norm = RMSNorm(
             cfg.rms_norm_eps, self.dtype, self.param_dtype, name="norm"
         )
-        self.lm_head = nn.Dense(
-            cfg.padded_vocab_size, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="lm_head",
-        )
+        if self.quant:
+            self.lm_head = QuantDense(
+                cfg.padded_vocab_size, use_bias=False, dtype=self.dtype,
+                name="lm_head",
+            )
+        else:
+            self.lm_head = nn.Dense(
+                cfg.padded_vocab_size, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="lm_head",
+            )
         self.layers = nn.scan(
             Qwen2DecoderLayer,
             variable_axes={"params": 0},
@@ -164,7 +208,7 @@ class Qwen2LM(nn.Module):
             out_axes=0,
             length=cfg.num_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, self.dtype, self.param_dtype, name="layers")
+        )(cfg, self.dtype, self.param_dtype, self.quant, name="layers")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(jnp.maximum(input_ids, 0))

@@ -62,7 +62,9 @@ class UFVideoModel:
         self.vision = SiglipVisionTower(cfg.vision, dtype=dt, param_dtype=pt)
         self.projector = build_projector(cfg.projector, dtype=dt, param_dtype=pt)
         self.region = RegionProjector(cfg.region, dtype=dt, param_dtype=pt)
-        self.llm = Qwen2LM(cfg.llm, dtype=dt, param_dtype=pt)
+        self.llm = Qwen2LM(
+            cfg.llm, dtype=dt, param_dtype=pt, quant=cfg.quant_llm
+        )
         self.text_fcs = TextHiddenFC(
             cfg.llm.hidden_size, cfg.sam_out_dim, dtype=dt, param_dtype=pt
         )
