@@ -104,6 +104,37 @@ def convert_siglip(sd: Mapping, cfg: SiglipVisionConfig) -> Dict[str, Any]:
     }
 
 
+def convert_clip(sd: Mapping, cfg) -> Dict[str, Any]:
+    """HF CLIPVisionModel → CLIPVisionTower params (reference alternative
+    tower, encoder.py:12-93). Only layers up to the feature tap are kept."""
+    p = "vision_model"
+
+    def layer(i: int) -> Dict[str, Any]:
+        lp = f"{p}.encoder.layers.{i}"
+        return {
+            "layer_norm1": _layernorm(sd, f"{lp}.layer_norm1"),
+            "layer_norm2": _layernorm(sd, f"{lp}.layer_norm2"),
+            "q_proj": _linear(sd, f"{lp}.self_attn.q_proj"),
+            "k_proj": _linear(sd, f"{lp}.self_attn.k_proj"),
+            "v_proj": _linear(sd, f"{lp}.self_attn.v_proj"),
+            "out_proj": _linear(sd, f"{lp}.self_attn.out_proj"),
+            "fc1": _linear(sd, f"{lp}.mlp.fc1"),
+            "fc2": _linear(sd, f"{lp}.mlp.fc2"),
+        }
+
+    return {
+        "patch_embedding_kernel": _np(
+            sd[f"{p}.embeddings.patch_embedding.weight"]
+        ).transpose(2, 3, 1, 0),
+        "class_embedding": _np(sd[f"{p}.embeddings.class_embedding"]),
+        "position_embedding": _np(
+            sd[f"{p}.embeddings.position_embedding.weight"]
+        ),
+        "pre_layrnorm": _layernorm(sd, f"{p}.pre_layrnorm"),
+        "layers": _stack_layers(cfg.num_encode_layers, layer),
+    }
+
+
 # --------------------------------------------------------------------------
 # Qwen2 LLM (HF Qwen2ForCausalLM state dict)
 # --------------------------------------------------------------------------
