@@ -104,9 +104,23 @@ def test_training_two_steps(synthetic_root, tmp_path):
         lambda s: SegBatch(**{k: jnp.asarray(v) for k, v in collator(s).items()}),
         batch_size=2,
     )
+    vis_before = np.asarray(
+        runtime.params["vision"]["position_embedding"]
+    ).copy()
+    llm_before = np.asarray(
+        runtime.params["llm"]["norm"]["scale"]
+    ).copy()
     state = trainer.init_state(runtime.params)
     state = trainer.train(state, device_prefetch(loader, lambda b: b), max_steps=2)
     assert int(state.step) == 2
+
+    # freezing policy: vision stays put, llm moves (train.py:861-916)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["vision"]["position_embedding"]), vis_before
+    )
+    assert not np.allclose(
+        np.asarray(state.params["llm"]["norm"]["scale"]), llm_before
+    )
     assert os.path.isdir(tmp_path / "ckpt" / "checkpoint-2")
 
     # metrics logged with finite losses

@@ -40,6 +40,12 @@ def _mask_vocab_logits(logits: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
     return jnp.where(mask, logits, neg)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "max_new_tokens", "stop_ids", "cache_max_len", "vocab_size"
+    ),
+)
 def greedy_generate(
     model: Qwen2LM,
     params,
@@ -51,6 +57,8 @@ def greedy_generate(
     cache_max_len: int,
     vocab_size: int | None = None,
 ) -> GenerateResult:
+    """One fused dispatch for prefill + the whole decode loop — eager
+    stage-by-stage dispatch costs seconds per call on remote runtimes."""
     cfg: Qwen2Config = model.cfg
     b, s, hid = input_embeds.shape
     vocab_size = vocab_size or cfg.vocab_size

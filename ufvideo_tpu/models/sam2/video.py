@@ -45,18 +45,34 @@ class FrameFeatures(NamedTuple):
     pos2: jnp.ndarray  # [T, H, W, C] sine pos embed of the top level
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _forward_image_jit(model: SAM2, params, images: jnp.ndarray):
+    return model.apply({"params": params}, images, method=SAM2.forward_image)
+
+
 def encode_video_frames(
     model: SAM2, params, images: jnp.ndarray, chunk: int = 8
 ) -> FrameFeatures:
     """Batch-encode all T frames [T, 1024, 1024, 3] through Hiera+FPN.
 
-    Chunked over T to bound activation memory on a single chip.
+    Chunked over T to bound activation memory on a single chip; each chunk
+    is one jitted dispatch (eager module application costs seconds on
+    remote-execution runtimes).
     """
     t = images.shape[0]
     outs = []
     for start in range(0, t, chunk):
         sl = images[start : start + chunk]
-        out = model.apply({"params": params}, sl, method=SAM2.forward_image)
+        if sl.shape[0] != chunk:
+            pad = chunk - sl.shape[0]
+            sl = jnp.pad(sl, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            out = _forward_image_jit(model, params, sl)
+            out = jax.tree.map(lambda x: x[: chunk - pad], out)
+        else:
+            out = _forward_image_jit(model, params, sl)
         outs.append(out)
     feats = [
         jnp.concatenate([o["backbone_fpn"][i] for o in outs], axis=0)
@@ -209,6 +225,7 @@ def track_frame(
     return state, out.low_res_masks
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
 def propagate_video(
     model: SAM2,
     params,

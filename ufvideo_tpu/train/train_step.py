@@ -82,6 +82,30 @@ def make_optimizer(
     return optax.multi_transform({"base": base, "projector": proj}, label_fn)
 
 
+def freeze_mask(params: Any, frozen_top_keys=("vision", "sam")) -> Any:
+    """Trainable mask matching the reference's freezing policy
+    (train.py:861-916: vision tower frozen, SAM2 frozen — its mask decoder
+    optionally trainable via train_mask_decoder — text_hidden_fcs, projector,
+    region encoder and LLM trainable)."""
+
+    def mark(key, tree):
+        if key in frozen_top_keys:
+            return jax.tree.map(lambda _: False, tree)
+        return jax.tree.map(lambda _: True, tree)
+
+    return {k: mark(k, v) for k, v in params.items()}
+
+
+def with_frozen(
+    optimizer: optax.GradientTransformation, mask: Any
+) -> optax.GradientTransformation:
+    """Zero updates (and skip optimizer state) for frozen params."""
+    return optax.multi_transform(
+        {True: optimizer, False: optax.set_to_zero()},
+        jax.tree.map(bool, mask),
+    )
+
+
 class Batch(NamedTuple):
     """One spliced multimodal training batch (static shapes)."""
 

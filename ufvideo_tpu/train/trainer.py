@@ -40,6 +40,9 @@ class TrainConfig:
     grad_clip: float = 1.0
     group_by_modality_length: bool = True  # train_1121v1.sh grouped sampler
     tune_adapters_only: bool = False
+    # reference freezing policy: vision tower + SAM2 stay frozen
+    # (train.py:861-916, videorefer_arch.py:130-135)
+    frozen_modules: tuple = ("vision", "sam")
     seed: int = 0
 
 
@@ -63,15 +66,31 @@ class Trainer:
             grad_clip=train_cfg.grad_clip,
             mm_projector_lr=train_cfg.mm_projector_lr,
         )
-        kwargs = {} if loss_fn is None else {"loss_fn": loss_fn}
-        self.init_fn, self.step_fn, self.shard_state = make_train_step(
-            model, self.optimizer, self.mesh, **kwargs
-        )
+        self._loss_fn = loss_fn
+        self._step_built = False
         self._log_path = os.path.join(train_cfg.output_dir, "train_log.jsonl")
+
+    def _build_step(self, params) -> None:
+        from .train_step import freeze_mask, with_frozen
+
+        opt = self.optimizer
+        if self.tc.frozen_modules and all(
+            k in params for k in ("llm",)
+        ):
+            mask = freeze_mask(params, self.tc.frozen_modules)
+            opt = with_frozen(opt, mask)
+        self._opt = opt
+        kwargs = {} if self._loss_fn is None else {"loss_fn": self._loss_fn}
+        self.init_fn, self.step_fn, self.shard_state = make_train_step(
+            self.model, opt, self.mesh, **kwargs
+        )
+        self._step_built = True
 
     # ---------------- state ----------------
 
     def init_state(self, params) -> TrainState:
+        if not self._step_built:
+            self._build_step(params)
         state = self.init_fn(jax.random.PRNGKey(self.tc.seed), params)
         with self.mesh:
             return self.shard_state(state)
