@@ -15,7 +15,7 @@ def _inputs(b=2, hkv=2, g=4, d=32, s=256, dtype=jnp.float32):
     q = jax.random.normal(kq, (b, hkv, g, d), dtype)
     k = jax.random.normal(kk, (b, hkv, s, d), dtype)
     v = jax.random.normal(kv, (b, hkv, s, d), dtype)
-    lens = jnp.array([s, s // 3], jnp.int32)
+    lens = jnp.asarray([s, s // 3][:b] if b <= 2 else [s] * b, jnp.int32)
     return q, k, v, lens
 
 

@@ -179,9 +179,23 @@ def make_train_step(
         return jax.tree.map(jax.device_put, state, sh)
 
     batch_sharding = NamedSharding(mesh, BATCH_SPEC)
-    step_jit = jax.jit(
-        step,
-        in_shardings=(None, jax.tree.map(lambda _: batch_sharding, Batch(*[0] * 6))),
-        donate_argnums=(0,),
-    )
+    replicated = NamedSharding(mesh, P())
+    dp_size = mesh.shape["data"] * mesh.shape["fsdp"]
+    step_inner = jax.jit(step, donate_argnums=(0,))
+
+    def step_jit(state, batch):
+        # shard the batch over the data axes (works for any Batch-like
+        # NamedTuple — Batch, SegBatch, ...); replicate anything whose
+        # leading dim doesn't divide the data axes
+        def put(x):
+            sh = (
+                batch_sharding
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp_size == 0
+                else replicated
+            )
+            return jax.device_put(x, sh)
+
+        batch = jax.tree.map(put, batch)
+        return step_inner(state, batch)
+
     return init, step_jit, shard_state
