@@ -98,3 +98,23 @@ def test_flash_attention_kv_lens():
     np.testing.assert_allclose(
         out.astype(np.float32), ref.astype(np.float32), atol=2e-2, rtol=2e-2
     )
+
+
+@requires_tpu
+def test_flash_attention_grad_on_tpu():
+    """The Pallas forward must be differentiable (VJP recomputes through the
+    blockwise XLA path) — training attention goes through this."""
+    from ufvideo_tpu.ops.attention import attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), 1, 256, 256, 4, 2, 64,
+                        jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            attention(q, k, v, causal=True, impl="pallas").astype(jnp.float32)
+            ** 2
+        )
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))

@@ -12,6 +12,7 @@ Output [B, Sq, Hq, D] in q.dtype; softmax in float32.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -82,6 +83,100 @@ def xla_attention(
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
+def blockwise_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_lens: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Online-softmax attention as a lax.scan over kv chunks, in pure XLA.
+
+    Never materializes the [Sq, Skv] score matrix in HBM, and — unlike the
+    Pallas kernel — is differentiable, with scan giving a memory-efficient
+    (rematerializing) backward. Used as the VJP rule for the flash kernel.
+    """
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    groups = hq // hkv
+    scale = (d ** -0.5) if scale is None else scale
+    n_chunks = -(-skv // chunk)
+    pad = n_chunks * chunk - skv
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    lens = kv_lens if kv_lens is not None else jnp.full((b,), skv, jnp.int32)
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, groups, d)
+    kc = kp.reshape(b, n_chunks, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
+    vc = vp.reshape(b, n_chunks, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
+    offset = skv - sq
+
+    def step(carry, xs):
+        m_prev, l_prev, acc = carry
+        ci, kb, vb = xs  # kb/vb: [B, chunk, hkv, d]
+        s = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qf, kb.astype(jnp.float32)
+        )  # [B, hkv, g, sq, chunk]
+        col = ci * chunk + jnp.arange(chunk)
+        valid = col[None, :] < lens[:, None]  # [B, chunk]
+        s = jnp.where(valid[:, None, None, None, :], s, _NEG_INF)
+        if causal:
+            row = jnp.arange(sq)
+            cmask = (col[None, :] - offset) <= row[:, None]  # [sq, chunk]
+            s = jnp.where(cmask[None, None, None], s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.maximum(m_new, _NEG_INF / 2)
+        p = jnp.exp(s - m_safe[..., None])
+        corr = jnp.exp(jnp.maximum(m_prev, _NEG_INF / 2) - m_safe)
+        l_new = l_prev * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bhgqk,bkhd->bhgqd", p, vb.astype(jnp.float32))
+        acc = acc * corr[..., None] + pv
+        return (m_new, l_new, acc), None
+
+    init = (
+        jnp.full((b, hkv, groups, sq), _NEG_INF, jnp.float32),
+        jnp.zeros((b, hkv, groups, sq), jnp.float32),
+        jnp.zeros((b, hkv, groups, sq, d), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_chunks), kc, vc)
+    )
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, sq, hq, d)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def _flash_attention_ad(q, k, v, causal, kv_lens, scale):
+    from .flash_attention import flash_attention
+
+    return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens, scale=scale)
+
+
+def _flash_ad_fwd(q, k, v, causal, kv_lens, scale):
+    out = _flash_attention_ad(q, k, v, causal, kv_lens, scale)
+    return out, (q, k, v, kv_lens)
+
+
+def _flash_ad_bwd(causal, scale, residuals, g):
+    q, k, v, kv_lens = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: blockwise_attention(
+            q_, k_, v_, causal=causal, kv_lens=kv_lens, scale=scale
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -97,7 +192,9 @@ def attention(
 
     impl: "auto" (Pallas on TPU when profitable), "pallas", or "xla".
     ``mask`` is only supported on the XLA path (arbitrary boolean masks are
-    not worth a kernel; the hot paths use causal/kv_lens).
+    not worth a kernel; the hot paths use causal/kv_lens). The Pallas path
+    is differentiable: its VJP recomputes through the blockwise XLA
+    implementation (flash-style memory footprint either way).
     """
     if impl == "auto":
         import os
@@ -114,9 +211,9 @@ def attention(
             )
             impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
-        from .flash_attention import flash_attention
-
-        return flash_attention(
+        return _flash_attention_ad(q, k, v, causal, kv_lens, scale)
+    if impl == "blockwise":
+        return blockwise_attention(
             q, k, v, causal=causal, kv_lens=kv_lens, scale=scale
         )
     return xla_attention(
