@@ -193,12 +193,50 @@ def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
     return "qwen2_7b_decode_tokens_per_sec", tps, "tokens/s/chip"
 
 
+def bench_prefill(batch: int = 1, seq: int = 2048):
+    """7B prefill throughput (prompt tokens/sec/chip)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ufvideo_tpu.configs import Qwen2Config
+    from ufvideo_tpu.models.qwen2 import Qwen2LM
+
+    cfg = Qwen2Config()
+    quant = os.environ.get("UFVIDEO_BENCH_QUANT", "") == "1"
+    model = Qwen2LM(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, quant=quant)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))[
+            "params"
+        ]
+    )
+    params = _random_params(shapes)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 3, 10000)
+
+    def step(p, x):
+        # chain-perturbable float input → embed-space forward
+        from ufvideo_tpu.models.qwen2 import Qwen2LM as _M
+
+        hidden, _ = model.apply(
+            {"params": p}, x, jnp.broadcast_to(
+                jnp.arange(seq, dtype=jnp.int32), (batch, seq)
+            ), None, None, None, "train", method=_M.backbone,
+        )
+        return hidden
+
+    embeds = model.apply({"params": params}, ids, method=Qwen2LM.embed)
+    dt = _timeit_device_loop(step, params, embeds, iters=4)
+    return "qwen2_7b_prefill_tokens_per_sec", batch * seq / dt, "tokens/s/chip"
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "decode"
     fn = {
         "vit_encode": bench_vit_encode,
         "projector": bench_projector,
         "decode": bench_decode,
+        "prefill": bench_prefill,
     }[which]
     metric, value, unit = fn()
     baseline = BASELINES.get(metric, 0.0)
