@@ -65,11 +65,12 @@ class SiglipEncoderLayer(nn.Module):
     cfg: SiglipVisionConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    ln_dtype: Any = jnp.float32  # norm compute dtype (bf16 = faster, looser)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _) -> tuple:
         ln = lambda name: nn.LayerNorm(
-            epsilon=self.cfg.layer_norm_eps, dtype=jnp.float32,
+            epsilon=self.cfg.layer_norm_eps, dtype=self.ln_dtype,
             param_dtype=self.param_dtype, name=name,
         )
         h = ln("layer_norm1")(x).astype(self.dtype)
@@ -92,6 +93,7 @@ class SiglipVisionTower(nn.Module):
     cfg: SiglipVisionConfig
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    ln_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -135,7 +137,7 @@ class SiglipVisionTower(nn.Module):
             split_rngs={"params": True},
             length=cfg.num_encode_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, self.dtype, self.param_dtype, name="layers")
+        )(cfg, self.dtype, self.param_dtype, self.ln_dtype, name="layers")
         x, _ = layers(x, None)
         return x
 

@@ -47,8 +47,8 @@ def _spec_for(path: str, rules: Rules, ndim: int) -> P:
     for pattern, spec in rules:
         if re.fullmatch(pattern, path):
             parts = tuple(spec)
-            if len(parts) > ndim:
-                # rule refers to more dims than the param has → replicate
+            if not parts or len(parts) > ndim:
+                # replicated rule, or rule wider than the param → replicate
                 return P()
             # right-align: scan-stacked params carry a leading layer axis
             # ([L, in, out]) that must stay unsharded

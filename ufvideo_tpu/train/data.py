@@ -71,6 +71,24 @@ def preprocess_conversation(
     return input_ids, labels
 
 
+def preprocess_plain(
+    source: Sequence[Dict[str, str]],
+    tokenizer,
+    modal_token: str,
+):
+    """Projector-pretraining pairs (reference: train.py:159-185): the raw
+    '<video> caption' concatenation, labels everywhere except the modal
+    sentinel."""
+    assert len(source) == 2 and modal_token in source[0]["value"]
+    from ..constants import MODAL_INDEX_MAP
+
+    conversation = " ".join(s["value"] for s in source)
+    input_ids = tokenizer_multimodal_token(conversation, tokenizer, modal_token)
+    sentinel = MODAL_INDEX_MAP[modal_token]
+    labels = [IGNORE_INDEX if t == sentinel else t for t in input_ids]
+    return input_ids, labels
+
+
 @dataclass
 class TrainSample:
     input_ids: List[int]
