@@ -230,6 +230,34 @@ def bench_prefill(batch: int = 1, seq: int = 2048):
     return "qwen2_7b_prefill_tokens_per_sec", batch * seq / dt, "tokens/s/chip"
 
 
+def bench_sam_encode(frames: int = 8):
+    """SAM2 Hiera-L image-encoder throughput at 1024² (frames/s/chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ufvideo_tpu.configs import SAM2Config
+    from ufvideo_tpu.models.sam2 import SAM2
+
+    cfg = SAM2Config()
+    model = SAM2(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3), jnp.bfloat16)
+        )["params"]
+    )
+    params = _random_params(shapes)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (frames, 1024, 1024, 3), jnp.bfloat16
+    )
+
+    def step(p, xx):
+        out = model.apply({"params": p}, xx, method=type(model).forward_image)
+        return out["backbone_fpn"][2]
+
+    dt = _timeit_device_loop(step, params, x, iters=4)
+    return "sam2_encode_frames_per_sec", frames / dt, "frames/s/chip"
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "decode"
     fn = {
@@ -237,6 +265,7 @@ def main():
         "projector": bench_projector,
         "decode": bench_decode,
         "prefill": bench_prefill,
+        "sam_encode": bench_sam_encode,
     }[which]
     metric, value, unit = fn()
     baseline = BASELINES.get(metric, 0.0)

@@ -154,11 +154,57 @@ conv_qwen_plain = Conversation(
     version="qwen_plain",
 )
 
+conv_vicuna_v1 = Conversation(
+    system=(
+        "A chat between a curious user and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the user's questions."
+    ),
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1",
+)
+
+conv_llama2 = Conversation(
+    system=(
+        "You are a helpful, respectful and honest assistant. Always answer "
+        "as helpfully as possible, while being safe."
+    ),
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.LLAMA2,
+    sep="<s>",
+    sep2="</s>",
+    version="llama2",
+)
+
+conv_mistral = Conversation(
+    system=(
+        "A chat between a curious user and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the user's questions."
+    ),
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.LLAMA2,
+    sep="",
+    sep2="</s>",
+    version="llama2",
+)
+
 conv_templates = {
     "qwen": conv_qwen,
     "qwen_plain": conv_qwen_plain,
     "plain": conv_qwen_plain,
     "default": conv_qwen,
+    "v1": conv_vicuna_v1,
+    "vicuna_v1": conv_vicuna_v1,
+    "llava_v1": conv_vicuna_v1,
+    "llama2": conv_llama2,
+    "mistral": conv_mistral,
 }
 
 DEFAULT_SYSTEM = "You are a helpful assistant."

@@ -151,6 +151,33 @@ class SupervisedVideoDataset:
 
     def _load(self, rec: Dict) -> TrainSample:
         cfg = self.cfg
+        # image samples are a single frame expanded to the frame budget
+        # (reference: train.py:329-342, videorefer_arch.py:173-175)
+        if "image" in rec and "video" not in rec:
+            from ..mm_utils import process_image
+
+            img, h, w, _ = process_image(
+                os.path.join(self.video_root, rec["image"]),
+                aspect_ratio="square",
+            )
+            video = np.broadcast_to(
+                img[:1], (cfg.budget.num_frames,) + img.shape[1:]
+            ).copy()
+            from ..constants import DEFAULT_IMAGE_TOKEN
+
+            modal = (
+                DEFAULT_IMAGE_TOKEN
+                if any(
+                    DEFAULT_IMAGE_TOKEN in s["value"]
+                    for s in rec["conversations"]
+                )
+                else DEFAULT_VIDEO_TOKEN
+            )
+            input_ids, labels = preprocess_conversation(
+                rec["conversations"], self.tokenizer, modal
+            )
+            return TrainSample(input_ids=input_ids, labels=labels, video=video)
+
         video_path = os.path.join(self.video_root, rec["video"])
         conversations = rec["conversations"]
         is_seg = "annotation" in rec and any(
