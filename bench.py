@@ -258,6 +258,88 @@ def bench_sam_encode(frames: int = 8):
     return "sam2_encode_frames_per_sec", frames / dt, "frames/s/chip"
 
 
+def bench_e2e(num_frames: int = 32, sam_frames: int = 8, new_tokens: int = 64):
+    """Full PixRQA-style pipeline latency on one chip (BASELINE.json metric
+    'PixRQA e2e latency'): 32-frame SigLIP encode → STC projector → splice →
+    7B prefill → greedy decode → SAM2 encode + [SEG] mask propagation.
+
+    Runs the int8 weight-only LLM so the whole stack fits a single 16GB v5e
+    (bf16 7B + towers exceed HBM). Reports videos/sec/chip.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ufvideo_tpu.configs import UFVideoConfig
+    from ufvideo_tpu.constants import VIDEO_TOKEN_INDEX
+    from ufvideo_tpu.models.generate import greedy_generate
+    from ufvideo_tpu.models.sam2 import SAM2
+    from ufvideo_tpu.models.sam2.video import encode_video_frames, propagate_video
+    from ufvideo_tpu.models.ufvideo import UFVideoModel
+    from ufvideo_tpu.splicing import plan_splice
+
+    cfg = UFVideoConfig(quant_llm=True)
+    cfg = cfg.replace(
+        budget=dataclasses.replace(
+            cfg.budget, num_frames=num_frames, max_seq_len=4096
+        )
+    )
+    model = UFVideoModel(cfg)
+    sam = SAM2(cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype)
+
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0)))
+    params = _random_params(shapes)
+    params["sam"] = _random_params(
+        jax.eval_shape(
+            lambda: sam.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, 1024, 1024, 3), jnp.bfloat16),
+            )["params"]
+        )
+    )
+
+    pixels = jax.random.normal(
+        jax.random.PRNGKey(2), (1, num_frames, 384, 384, 3), jnp.bfloat16
+    )
+    images_sam = jax.random.normal(
+        jax.random.PRNGKey(3), (sam_frames, 1024, 1024, 3), jnp.bfloat16
+    )
+    prompt = [151644, 872, 198, VIDEO_TOKEN_INDEX] + list(range(100, 140)) + [151645]
+    plan = plan_splice(
+        [prompt],
+        num_video_tokens=cfg.num_video_tokens,
+        region_token_counts=[[]],
+        region_token_id=-1,
+        max_seq_len=cfg.budget.max_seq_len,
+    )
+
+    front = jax.jit(
+        lambda p, px, tids, kind, idx: model.splice_embeds(
+            p, tids, kind, idx, model.encode_video(p, px), None
+        )
+    )
+
+    def run():
+        embeds = front(
+            params, pixels, jnp.asarray(plan.text_ids),
+            jnp.asarray(plan.src_kind), jnp.asarray(plan.src_idx),
+        )
+        res = greedy_generate(
+            model.llm, params["llm"], embeds, jnp.asarray(plan.seq_lens),
+            max_new_tokens=new_tokens, stop_ids=(-1,),
+            cache_max_len=cfg.budget.max_seq_len + new_tokens,
+        )
+        seg_embed = model.seg_embeddings(params, res.hidden[:, :1, :])
+        sfeats = encode_video_frames(sam, params["sam"], images_sam)
+        low = propagate_video(sam, params["sam"], sfeats, seg_embed[0][:, None])
+        return jnp.sum(low.astype(jnp.float32)) + jnp.sum(res.tokens)
+
+    dt = _timeit(run, warmup=1, iters=3)
+    return "pixrqa_e2e_videos_per_sec", 1.0 / dt, "videos/s/chip"
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "decode"
     fn = {
@@ -266,6 +348,7 @@ def main():
         "decode": bench_decode,
         "prefill": bench_prefill,
         "sam_encode": bench_sam_encode,
+        "e2e": bench_e2e,
     }[which]
     metric, value, unit = fn()
     baseline = BASELINES.get(metric, 0.0)

@@ -113,12 +113,14 @@ class Qwen2DecoderLayer(nn.Module):
 
         # --- attention ---
         h = norm("input_layernorm")(x)
-        q = dense(cfg.num_heads * cfg.head_dim, True, "self_attn_q_proj")(h)
-        k = dense(cfg.num_kv_heads * cfg.head_dim, True, "self_attn_k_proj")(h)
-        v = dense(cfg.num_kv_heads * cfg.head_dim, True, "self_attn_v_proj")(h)
-        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        nq = cfg.num_heads * cfg.head_dim
+        nkv = cfg.num_kv_heads * cfg.head_dim
+        # fused qkv: one weight stream per step (decode is weight-bandwidth
+        # bound; converter concatenates the checkpoint's q/k/v)
+        qkv = dense(nq + 2 * nkv, True, "self_attn_qkv_proj")(h)
+        q = qkv[..., :nq].reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = qkv[..., nq : nq + nkv].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = qkv[..., nq + nkv :].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 

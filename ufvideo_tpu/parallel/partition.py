@@ -24,8 +24,8 @@ Rules = Sequence[Tuple[str, P]]
 # FSDP shards the other large dim.
 QWEN2_RULES: Rules = (
     (r".*embed_tokens/embedding$", P(TENSOR_AXIS, FSDP_AXIS)),
-    (r".*(q_proj|k_proj|v_proj)/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
-    (r".*(q_proj|k_proj|v_proj)/bias$", P(TENSOR_AXIS)),
+    (r".*(q_proj|k_proj|v_proj|qkv_proj)/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r".*(q_proj|k_proj|v_proj|qkv_proj)/bias$", P(TENSOR_AXIS)),
     (r".*o_proj/kernel$", P(TENSOR_AXIS, FSDP_AXIS)),
     (r".*(gate_proj|up_proj)/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
     (r".*down_proj/kernel$", P(TENSOR_AXIS, FSDP_AXIS)),

@@ -79,13 +79,24 @@ def convert_siglip(sd: Mapping, cfg: SiglipVisionConfig) -> Dict[str, Any]:
 
     def layer(i: int) -> Dict[str, Any]:
         lp = f"{p}.encoder.layers.{i}"
+        qkv_kernel = np.concatenate(
+            [
+                _np(sd[f"{lp}.self_attn.{n}.weight"]).T
+                for n in ("q_proj", "k_proj", "v_proj")
+            ],
+            axis=1,
+        )
+        qkv_bias = np.concatenate(
+            [
+                _np(sd[f"{lp}.self_attn.{n}.bias"])
+                for n in ("q_proj", "k_proj", "v_proj")
+            ]
+        )
         return {
             "layer_norm1": _layernorm(sd, f"{lp}.layer_norm1"),
             "layer_norm2": _layernorm(sd, f"{lp}.layer_norm2"),
             "self_attn": {
-                "q_proj": _linear(sd, f"{lp}.self_attn.q_proj"),
-                "k_proj": _linear(sd, f"{lp}.self_attn.k_proj"),
-                "v_proj": _linear(sd, f"{lp}.self_attn.v_proj"),
+                "qkv_proj": {"kernel": qkv_kernel, "bias": qkv_bias},
                 "out_proj": _linear(sd, f"{lp}.self_attn.out_proj"),
             },
             "mlp": {
@@ -149,14 +160,25 @@ def convert_qwen2(sd: Mapping, cfg: Qwen2Config) -> Dict[str, Any]:
 
     def layer(i: int) -> Dict[str, Any]:
         lp = f"model.layers.{i}"
+        qkv_kernel = np.concatenate(
+            [
+                _np(sd[f"{lp}.self_attn.{n}.weight"]).T
+                for n in ("q_proj", "k_proj", "v_proj")
+            ],
+            axis=1,
+        )
+        qkv_bias = np.concatenate(
+            [
+                _np(sd[f"{lp}.self_attn.{n}.bias"])
+                for n in ("q_proj", "k_proj", "v_proj")
+            ]
+        )
         return {
             "input_layernorm": _rmsnorm(sd, f"{lp}.input_layernorm"),
             "post_attention_layernorm": _rmsnorm(
                 sd, f"{lp}.post_attention_layernorm"
             ),
-            "self_attn_q_proj": _linear(sd, f"{lp}.self_attn.q_proj"),
-            "self_attn_k_proj": _linear(sd, f"{lp}.self_attn.k_proj"),
-            "self_attn_v_proj": _linear(sd, f"{lp}.self_attn.v_proj"),
+            "self_attn_qkv_proj": {"kernel": qkv_kernel, "bias": qkv_bias},
             "self_attn_o_proj": _linear(sd, f"{lp}.self_attn.o_proj", bias=False),
             "mlp_gate_proj": _linear(sd, f"{lp}.mlp.gate_proj", bias=False),
             "mlp_up_proj": _linear(sd, f"{lp}.mlp.up_proj", bias=False),
