@@ -22,11 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .configs import UFVideoConfig
-from .constants import (
-    DEFAULT_IMAGE_TOKEN,
-    DEFAULT_VIDEO_TOKEN,
-    MODAL_INDEX_MAP,
-)
+from .constants import DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN
 from .mm_utils import tokenizer_multimodal_token
 from .models.generate import forward_hidden, greedy_generate
 from .models.sam2 import SAM2

@@ -20,7 +20,6 @@ from .configs import UFVideoConfig
 from .models.sam2.convert import convert_sam2
 from .weights import (
     _linear,
-    _np,
     convert_qwen2,
     convert_siglip,
     convert_stc_projector,

@@ -20,7 +20,7 @@ IGNORE_INDEX, matching videorefer_arch.py:282-309).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ environments never need tokenizer asset files.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from .constants import NUM_TEMPORAL_TOKENS, extra_special_tokens
 
