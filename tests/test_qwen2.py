@@ -148,3 +148,26 @@ def test_padded_batch_prefill_ignores_padding(hf_and_params):
             ref = np.asarray(h[0, :3])
         else:
             np.testing.assert_allclose(np.asarray(h[0, :3]), ref, atol=1e-5)
+
+
+def test_sampling_generate(hf_and_params):
+    """Temperature/top-p sampling: valid tokens, deterministic per seed."""
+    _, _, params = hf_and_params
+    model = _model()
+    ids = np.random.RandomState(5).randint(3, TINY.vocab_size, (1, 6)).astype(
+        np.int32
+    )
+    embeds = model.apply({"params": params}, jnp.asarray(ids), method=Qwen2LM.embed)
+
+    def run(seed):
+        return greedy_generate(
+            model, params, embeds, jnp.array([6], jnp.int32),
+            max_new_tokens=6, stop_ids=(TINY.eos_token_id,),
+            cache_max_len=16, do_sample=True, temperature=0.8, top_p=0.9,
+            rng=jax.random.PRNGKey(seed),
+        ).tokens
+
+    a, b = run(0), run(0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    toks = np.asarray(run(1))
+    assert ((toks >= 0) & (toks < TINY.vocab_size)).all()

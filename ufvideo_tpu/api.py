@@ -108,6 +108,10 @@ class UFVideoRuntime:
         region_feats: Optional[jnp.ndarray] = None,
         region_token_counts: Optional[List[int]] = None,
         max_new_tokens: int = 128,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ):
         """Greedy decode. Returns (generated ids list, hidden states of the
         steps that produced them [N, hidden], spliced plan)."""
@@ -137,6 +141,10 @@ class UFVideoRuntime:
             stop_ids=(self.ids.eos,),
             cache_max_len=cfg.budget.max_seq_len + max_new_tokens,
             vocab_size=cfg.llm.vocab_size,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+            rng=jax.random.PRNGKey(seed),
         )
         n = int(res.gen_lens[0])
         tokens = np.asarray(res.tokens[0, :n])
@@ -329,6 +337,13 @@ def mm_infer(
         )
 
     max_new_tokens = int(kwargs.get("max_new_tokens", 1024))
+    # sampling kwargs (reference defaults: do_sample False, temp 0.2 when
+    # sampling, top_p 0.9; ufvideo/__init__.py:114-117)
+    do_sample = bool(kwargs.get("do_sample", False))
+    temperature = float(
+        kwargs.get("temperature", 0.2 if do_sample else 0.0) or 1.0
+    )
+    top_p = float(kwargs.get("top_p", 0.9))
     seg_in_input = model.ids.seg in input_ids
 
     if not seg_in_input:
@@ -337,6 +352,7 @@ def mm_infer(
         tokens, hidden, _ = model.generate(
             input_ids, video_feats, region_feats, region_counts,
             max_new_tokens=max_new_tokens,
+            do_sample=do_sample, temperature=temperature, top_p=top_p,
         )
         output_text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
 

@@ -40,10 +40,30 @@ def _mask_vocab_logits(logits: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
     return jnp.where(mask, logits, neg)
 
 
+def _sample_token(logits: jnp.ndarray, key, do_sample: bool,
+                  temperature: float, top_p: float) -> jnp.ndarray:
+    """Greedy or temperature/top-p sampling from [B, V] fp32 logits
+    (reference generate kwargs: do_sample/temperature/top_p,
+    ufvideo/__init__.py:114-117)."""
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / max(temperature, 1e-6)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set whose cumulative prob exceeds top_p
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, jnp.finfo(jnp.float32).min, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "max_new_tokens", "stop_ids", "cache_max_len", "vocab_size"
+        "model", "max_new_tokens", "stop_ids", "cache_max_len", "vocab_size",
+        "do_sample", "temperature", "top_p",
     ),
 )
 def greedy_generate(
@@ -56,9 +76,14 @@ def greedy_generate(
     stop_ids: Sequence[int],
     cache_max_len: int,
     vocab_size: int | None = None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    rng: jnp.ndarray | None = None,
 ) -> GenerateResult:
     """One fused dispatch for prefill + the whole decode loop — eager
-    stage-by-stage dispatch costs seconds per call on remote runtimes."""
+    stage-by-stage dispatch costs seconds per call on remote runtimes.
+    Greedy by default; do_sample enables temperature/top-p sampling."""
     cfg: Qwen2Config = model.cfg
     b, s, hid = input_embeds.shape
     vocab_size = vocab_size or cfg.vocab_size
@@ -82,12 +107,16 @@ def greedy_generate(
     # hidden state at the last *valid* prompt position produced token 0
     last_hidden = hidden[jnp.arange(b), seq_lens - 1]  # [B, hidden]
 
-    def sample(h):  # [B, hidden] -> [B] greedy token
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def sample(h, key):  # [B, hidden] -> [B] next token
         logits = model.apply({"params": params}, h[:, None], method=Qwen2LM.logits)
         logits = _mask_vocab_logits(logits[:, 0].astype(jnp.float32), vocab_size)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return _sample_token(logits, key, do_sample, temperature, top_p)
 
-    t0 = sample(last_hidden)
+    rng, k0 = jax.random.split(rng)
+    t0 = sample(last_hidden, k0)
 
     tokens = jnp.zeros((b, max_new_tokens), jnp.int32)
     hiddens = jnp.zeros((b, max_new_tokens, hid), model.dtype)
@@ -97,11 +126,12 @@ def greedy_generate(
     gen_lens0 = jnp.ones((b,), jnp.int32)
 
     def cond(state):
-        step, _, _, _, _, _, done, _ = state
+        step, _, _, _, _, _, done, _, _ = state
         return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        step, tokens, hiddens, cache, cache_len, cur, done, gen_lens = state
+        step, tokens, hiddens, cache, cache_len, cur, done, gen_lens, key = state
+        key, sub = jax.random.split(key)
         emb = model.apply(
             {"params": params}, cur[:, None], method=Qwen2LM.embed
         )
@@ -116,7 +146,7 @@ def greedy_generate(
             method=Qwen2LM.backbone,
         )
         h = h[:, 0]
-        nxt = sample(h)
+        nxt = sample(h, sub)
         # sequences already done keep emitting pad (their cache writes are
         # harmless: cache_len stops advancing once done)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
@@ -127,7 +157,10 @@ def greedy_generate(
         now_done = jnp.logical_or(done, jnp.isin(nxt, stop_arr))
         gen_lens = jnp.where(done, gen_lens, step + 1)
         cache_len = jnp.where(done, cache_len, cache_len + 1)
-        return (step + 1, tokens, hiddens, cache, cache_len, nxt, now_done, gen_lens)
+        return (
+            step + 1, tokens, hiddens, cache, cache_len, nxt, now_done,
+            gen_lens, key,
+        )
 
     state = (
         jnp.asarray(1, jnp.int32),
@@ -138,9 +171,10 @@ def greedy_generate(
         t0,
         done0,
         gen_lens0,
+        rng,
     )
     state = jax.lax.while_loop(cond, body, state)
-    _, tokens, hiddens, _, _, _, _, gen_lens = state
+    _, tokens, hiddens, _, _, _, _, gen_lens, _ = state
     return GenerateResult(tokens=tokens, gen_lens=gen_lens, hidden=hiddens)
 
 
