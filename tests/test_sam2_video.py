@@ -165,6 +165,46 @@ def test_video_propagation_parity(oracle):
     np.testing.assert_array_equal(got > 0, ref_masks > 0)
 
 
+def test_video_propagation_long_ring_eviction(oracle):
+    """10 frames > 6 non-cond memory slots: exercises ring-buffer eviction
+    and the obj-ptr window sliding past the start (sam2.py:2874-2975)."""
+    import torch
+
+    ref, predictor = oracle
+    sd = predictor.state_dict()
+    params = C.convert_sam2(sd, TINY)
+    model = SAM2(TINY)
+
+    t, n_obj = 10, 1
+    rng = np.random.RandomState(7)
+    video = rng.randn(t, 128, 128, 3).astype(np.float32)
+    lang = rng.randn(n_obj, 1, TINY.sam_embed_dim).astype(np.float32)
+
+    with torch.no_grad():
+        state = predictor.init_state(torch.from_numpy(video.transpose(0, 3, 1, 2)))
+        state["device"] = torch.device("cpu")
+        state["storage_device"] = torch.device("cpu")
+        for obj in range(n_obj):
+            predictor.add_language_embd(
+                state, 0, obj + 100, torch.from_numpy(lang[obj])[None],
+                inference=True,
+            )
+        ref_masks = [
+            logits.numpy() for _, _, logits in predictor.propagate_in_video(state)
+        ]
+    ref_masks = np.stack(ref_masks)
+
+    feats = encode_video_frames(model, params, jnp.asarray(video), chunk=4)
+    low = propagate_video(model, params, feats, jnp.asarray(lang))
+    got = np.asarray(
+        jax.image.resize(
+            low.astype(jnp.float32), (t, n_obj, 1, 128, 128), "bilinear"
+        )
+    )
+    np.testing.assert_array_equal(got > 0, ref_masks > 0)
+    np.testing.assert_allclose(got, ref_masks, atol=8e-2, rtol=8e-2)
+
+
 def test_masks_to_video_res_shape():
     masks = jnp.zeros((3, 2, 1, 32, 32))
     out = masks_to_video_res(masks, 77, 55)
