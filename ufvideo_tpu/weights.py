@@ -79,24 +79,13 @@ def convert_siglip(sd: Mapping, cfg: SiglipVisionConfig) -> Dict[str, Any]:
 
     def layer(i: int) -> Dict[str, Any]:
         lp = f"{p}.encoder.layers.{i}"
-        qkv_kernel = np.concatenate(
-            [
-                _np(sd[f"{lp}.self_attn.{n}.weight"]).T
-                for n in ("q_proj", "k_proj", "v_proj")
-            ],
-            axis=1,
-        )
-        qkv_bias = np.concatenate(
-            [
-                _np(sd[f"{lp}.self_attn.{n}.bias"])
-                for n in ("q_proj", "k_proj", "v_proj")
-            ]
-        )
         return {
             "layer_norm1": _layernorm(sd, f"{lp}.layer_norm1"),
             "layer_norm2": _layernorm(sd, f"{lp}.layer_norm2"),
             "self_attn": {
-                "qkv_proj": {"kernel": qkv_kernel, "bias": qkv_bias},
+                "q_proj": _linear(sd, f"{lp}.self_attn.q_proj"),
+                "k_proj": _linear(sd, f"{lp}.self_attn.k_proj"),
+                "v_proj": _linear(sd, f"{lp}.self_attn.v_proj"),
                 "out_proj": _linear(sd, f"{lp}.self_attn.out_proj"),
             },
             "mlp": {
