@@ -212,6 +212,14 @@ def attention(
             impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         return _flash_attention_ad(q, k, v, causal, kv_lens, scale)
+    if impl == "identity":
+        # benchmark-only ablation: bypasses attention math entirely
+        hq = q.shape[2]
+        hkv = k.shape[2]
+        if hq != hkv:
+            import jax.numpy as _jnp
+            return _jnp.repeat(v, hq // hkv, axis=2).astype(q.dtype)
+        return v.astype(q.dtype)
     if impl == "blockwise":
         return blockwise_attention(
             q, k, v, causal=causal, kv_lens=kv_lens, scale=scale
