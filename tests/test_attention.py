@@ -118,3 +118,20 @@ def test_flash_attention_grad_on_tpu():
     grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+def test_flash_kv_mask_interpret():
+    """Per-token kv masking (memory-attention path) on the kernel."""
+    from ufvideo_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), 2, 128, 256, 2, 2, 64)
+    mask = jax.random.uniform(jax.random.PRNGKey(12), (2, 256)) > 0.3
+    out = flash_attention(q, k, v, kv_mask=mask, interpret=True,
+                          block_q=128, block_kv=128)
+    ref = xla_attention(
+        q, k, v,
+        mask=jnp.broadcast_to(mask[:, None, :], (2, 128, 256)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )

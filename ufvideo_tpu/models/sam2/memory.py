@@ -80,16 +80,9 @@ class RoPEAttention(nn.Module):
             k_rot = apply_rope_interleaved(kp[:, :num_k_rope], cos_k, sin_k)
             kp = jnp.concatenate([k_rot, kp[:, num_k_rope:]], axis=1)
 
-        o = attention(qp, kp, vp, mask=_expand_kv_mask(kv_mask, nq))
+        # per-token kv validity rides the flash kernel's masked path on TPU
+        o = attention(qp, kp, vp, kv_mask=kv_mask)
         return dense(cfg.mem_attn_dim, "out_proj")(o.reshape(b, nq, c))
-
-
-def _expand_kv_mask(kv_mask, nq):
-    if kv_mask is None:
-        return None
-    return jnp.broadcast_to(
-        kv_mask[:, None, :], (kv_mask.shape[0], nq, kv_mask.shape[1])
-    )
 
 
 class MemoryAttentionLayer(nn.Module):

@@ -90,6 +90,7 @@ def blockwise_attention(
     *,
     causal: bool = False,
     kv_lens: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, Skv] per-token mask
     scale: Optional[float] = None,
     chunk: int = 512,
 ) -> jnp.ndarray:
@@ -108,6 +109,12 @@ def blockwise_attention(
     kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
     lens = kv_lens if kv_lens is not None else jnp.full((b,), skv, jnp.int32)
+    mask_full = (
+        jnp.pad(kv_mask.astype(bool), ((0, 0), (0, pad)))
+        if kv_mask is not None
+        else jnp.ones((b, n_chunks * chunk), bool)
+    )
+    mc = mask_full.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
 
     qf = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, groups, d)
     kc = kp.reshape(b, n_chunks, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
@@ -116,12 +123,12 @@ def blockwise_attention(
 
     def step(carry, xs):
         m_prev, l_prev, acc = carry
-        ci, kb, vb = xs  # kb/vb: [B, chunk, hkv, d]
+        ci, kb, vb, mb = xs  # kb/vb: [B, chunk, hkv, d]; mb: [B, chunk]
         s = jnp.einsum(
             "bqhgd,bkhd->bhgqk", qf, kb.astype(jnp.float32)
         )  # [B, hkv, g, sq, chunk]
         col = ci * chunk + jnp.arange(chunk)
-        valid = col[None, :] < lens[:, None]  # [B, chunk]
+        valid = (col[None, :] < lens[:, None]) & mb  # [B, chunk]
         s = jnp.where(valid[:, None, None, None, :], s, _NEG_INF)
         if causal:
             row = jnp.arange(sq)
@@ -143,35 +150,38 @@ def blockwise_attention(
         jnp.zeros((b, hkv, groups, sq, d), jnp.float32),
     )
     (m, l, acc), _ = jax.lax.scan(
-        step, init, (jnp.arange(n_chunks), kc, vc)
+        step, init, (jnp.arange(n_chunks), kc, vc, mc)
     )
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     out = out.transpose(0, 3, 1, 2, 4).reshape(b, sq, hq, d)
     return out.astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
-def _flash_attention_ad(q, k, v, causal, kv_lens, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6))
+def _flash_attention_ad(q, k, v, causal, kv_lens, kv_mask, scale):
     from .flash_attention import flash_attention
 
-    return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens, scale=scale)
+    return flash_attention(
+        q, k, v, causal=causal, kv_lens=kv_lens, kv_mask=kv_mask, scale=scale
+    )
 
 
-def _flash_ad_fwd(q, k, v, causal, kv_lens, scale):
-    out = _flash_attention_ad(q, k, v, causal, kv_lens, scale)
-    return out, (q, k, v, kv_lens)
+def _flash_ad_fwd(q, k, v, causal, kv_lens, kv_mask, scale):
+    out = _flash_attention_ad(q, k, v, causal, kv_lens, kv_mask, scale)
+    return out, (q, k, v, kv_lens, kv_mask)
 
 
 def _flash_ad_bwd(causal, scale, residuals, g):
-    q, k, v, kv_lens = residuals
+    q, k, v, kv_lens, kv_mask = residuals
     _, vjp = jax.vjp(
         lambda q_, k_, v_: blockwise_attention(
-            q_, k_, v_, causal=causal, kv_lens=kv_lens, scale=scale
+            q_, k_, v_, causal=causal, kv_lens=kv_lens, kv_mask=kv_mask,
+            scale=scale,
         ),
         q, k, v,
     )
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
@@ -184,6 +194,7 @@ def attention(
     *,
     causal: bool = False,
     kv_lens: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, Skv] per-token validity
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
@@ -211,7 +222,7 @@ def attention(
             )
             impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
-        return _flash_attention_ad(q, k, v, causal, kv_lens, scale)
+        return _flash_attention_ad(q, k, v, causal, kv_lens, kv_mask, scale)
     if impl == "identity":
         # benchmark-only ablation: bypasses attention math entirely
         hq = q.shape[2]
@@ -222,7 +233,12 @@ def attention(
         return v.astype(q.dtype)
     if impl == "blockwise":
         return blockwise_attention(
-            q, k, v, causal=causal, kv_lens=kv_lens, scale=scale
+            q, k, v, causal=causal, kv_lens=kv_lens, kv_mask=kv_mask,
+            scale=scale,
+        )
+    if kv_mask is not None and mask is None:
+        mask = jnp.broadcast_to(
+            kv_mask[:, None, :], (kv_mask.shape[0], q.shape[1], kv_mask.shape[1])
         )
     return xla_attention(
         q, k, v, causal=causal, kv_lens=kv_lens, mask=mask, scale=scale

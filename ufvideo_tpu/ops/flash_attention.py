@@ -38,6 +38,7 @@ def _kernel(
     q_ref,  # [1, 1, block_q, d]
     k_ref,  # [1, 1, block_kv, d]
     v_ref,  # [1, 1, block_kv, d]
+    kv_mask_ref,  # [1, block_kv] int32 (all-ones when unused)
     # outputs
     o_ref,  # [1, 1, block_q, d]
     # scratch
@@ -51,6 +52,8 @@ def _kernel(
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
+    soft_dtype=jnp.float32,
+    use_kv_mask: bool = False,
 ):
     b = pl.program_id(0)
     iq = pl.program_id(2)
@@ -91,6 +94,8 @@ def _kernel(
             jnp.int32, (block_q, block_kv), 1
         )
         valid = col < kv_len
+        if use_kv_mask:
+            valid = jnp.logical_and(valid, kv_mask_ref[0, :][None, :] > 0)
         if causal:
             row = iq * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
@@ -104,7 +109,9 @@ def _kernel(
         # clamp so exp(-inf - -inf) never produces NaN on all-masked rows
         m_safe = jnp.maximum(m_new, _NEG_INF / 2)
 
-        p = jnp.exp(s - m_safe)  # [block_q, block_kv]
+        # optionally run the exp in bf16 (2x VPU throughput; the row max has
+        # already been subtracted so the argument is in [-inf, 0])
+        p = jnp.exp((s - m_safe).astype(soft_dtype)).astype(jnp.float32)
         correction = jnp.exp(jnp.maximum(m_prev, _NEG_INF / 2) - m_safe)
 
         l_prev = l_ref[:, :1]
@@ -128,7 +135,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret", "soft_dtype"),
 )
 def flash_attention(
     q: jnp.ndarray,  # [B, Sq, Hq, D]
@@ -137,10 +144,12 @@ def flash_attention(
     *,
     causal: bool = False,
     kv_lens: Optional[jnp.ndarray] = None,  # [B] int32
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, Skv] bool per-token mask
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_kv: int = DEFAULT_BLOCK_KV,
     interpret: Optional[bool] = None,
+    soft_dtype=jnp.float32,
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -189,6 +198,14 @@ def flash_attention(
     num_kv_blocks = skv_pad // block_kv
     grid = (b, hq, num_q_blocks, num_kv_blocks)
 
+    use_kv_mask = kv_mask is not None
+    if use_kv_mask:
+        mp = jnp.pad(
+            kv_mask.astype(jnp.int32), ((0, 0), (0, skv_pad - skv))
+        )
+    else:
+        mp = jnp.ones((b, skv_pad), jnp.int32)
+
     kernel = functools.partial(
         _kernel,
         scale=scale_val,
@@ -197,6 +214,8 @@ def flash_attention(
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        soft_dtype=soft_dtype,
+        use_kv_mask=use_kv_mask,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -214,6 +233,10 @@ def flash_attention(
             pl.BlockSpec(
                 (1, 1, block_kv, d_pad),
                 lambda b, h, iq, ik, *_, groups=groups: (b, h // groups, ik, 0),
+            ),
+            pl.BlockSpec(
+                (1, block_kv),
+                lambda b, h, iq, ik, *_: (b, ik),
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -240,6 +263,6 @@ def flash_attention(
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * hq * sq * skv,
         ),
-    )(kv_lens, qp, kp, vp)
+    )(kv_lens, qp, kp, vp, mp)
 
     return out[:, :, :sq, :d].transpose(0, 2, 1, 3)
