@@ -38,7 +38,7 @@ def _kernel(
     q_ref,  # [1, 1, block_q, d]
     k_ref,  # [1, 1, block_kv, d]
     v_ref,  # [1, 1, block_kv, d]
-    kv_mask_ref,  # [1, block_kv] int32 (all-ones when unused)
+    kv_mask_ref,  # [1, 1, block_kv] int32 (all-ones when unused)
     # outputs
     o_ref,  # [1, 1, block_q, d]
     # scratch
@@ -95,7 +95,7 @@ def _kernel(
         )
         valid = col < kv_len
         if use_kv_mask:
-            valid = jnp.logical_and(valid, kv_mask_ref[0, :][None, :] > 0)
+            valid = jnp.logical_and(valid, kv_mask_ref[0, 0, :][None, :] > 0)
         if causal:
             row = iq * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
@@ -202,9 +202,9 @@ def flash_attention(
     if use_kv_mask:
         mp = jnp.pad(
             kv_mask.astype(jnp.int32), ((0, 0), (0, skv_pad - skv))
-        )
+        )[:, None, :]
     else:
-        mp = jnp.ones((b, skv_pad), jnp.int32)
+        mp = jnp.ones((b, 1, skv_pad), jnp.int32)
 
     kernel = functools.partial(
         _kernel,
@@ -235,8 +235,8 @@ def flash_attention(
                 lambda b, h, iq, ik, *_, groups=groups: (b, h // groups, ik, 0),
             ),
             pl.BlockSpec(
-                (1, block_kv),
-                lambda b, h, iq, ik, *_: (b, ik),
+                (1, 1, block_kv),
+                lambda b, h, iq, ik, *_: (b, 0, ik),
             ),
         ],
         out_specs=pl.BlockSpec(
