@@ -357,6 +357,13 @@ def mm_infer(
         output_text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
 
         pred_masks = []
+        # Deliberate deviation from the reference generate path: we take the
+        # hidden state of the decode step that PRODUCED each [SEG] token (the
+        # training convention, videorefer_qwen2.py:218-220). The reference
+        # indexes output.hidden_states[j-1] — one step earlier, degenerately
+        # the whole prompt's hiddens when [SEG] is the 2nd generated token
+        # (videorefer_qwen2.py:429-435) — so masks here will not bit-match
+        # reference inference, by choice.
         seg_steps = [i for i, t in enumerate(tokens) if t == model.ids.seg]
         if seg_steps and images_sam is not None:
             seg_hidden = hidden[jnp.asarray(seg_steps)]

@@ -182,7 +182,7 @@ def merge_lora(
     sd: Dict[str, Any],
     adapter_sd: Mapping,
     *,
-    alpha: Optional[float] = None,
+    alpha: float,
     r: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Merge PEFT LoRA adapters into the base state dict in place
@@ -191,10 +191,12 @@ def merge_lora(
 
     Adapter keys look like
     ``base_model.model.<path>.lora_A.weight`` / ``.lora_B.weight``;
-    merged weight = W + (alpha / r) * B @ A.
+    merged weight = W + (alpha / r) * B @ A. ``alpha`` is required — PEFT
+    checkpoints carry it in adapter_config.json (use
+    :func:`merge_lora_from_dir`), and defaulting it to r would silently
+    rescale the adapter (the reference trains alpha=16, r=8 → scale 2.0,
+    reference train.py:152-154).
     """
-    import torch
-
     lora_a = {
         k.replace(".lora_A.weight", ""): v
         for k, v in adapter_sd.items()
@@ -206,7 +208,7 @@ def merge_lora(
         if target not in sd:
             continue
         rr = r or a.shape[0]
-        scale = (alpha if alpha is not None else rr) / rr
+        scale = alpha / rr
         w = sd[target].float()
         sd[target] = (w + scale * (b.float() @ a.float())).to(sd[target].dtype)
     # non-LoRA trainables (projector/region/text_fcs) override base entries
@@ -216,6 +218,49 @@ def merge_lora(
         kk = k.removeprefix("base_model.model.")
         sd[kk] = v
     return sd
+
+
+def merge_lora_from_dir(sd: Dict[str, Any], adapter_dir: str) -> Dict[str, Any]:
+    """Merge a PEFT adapter directory: reads lora_alpha/r from
+    adapter_config.json (reference model/__init__.py:63-81 via PeftModel)
+    plus adapter_model + non_lora_trainables weights."""
+    import json
+
+    with open(os.path.join(adapter_dir, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    adapter_sd = dict(_load_torch_sd(
+        _first_existing(adapter_dir, ("adapter_model.safetensors",
+                                      "adapter_model.bin"))
+    ))
+    non_lora = _first_existing(
+        adapter_dir, ("non_lora_trainables.bin", "non_lora_trainables.safetensors"),
+        required=False,
+    )
+    if non_lora:
+        adapter_sd.update(_load_torch_sd(non_lora))
+    return merge_lora(
+        sd, adapter_sd, alpha=float(acfg["lora_alpha"]), r=int(acfg["r"])
+    )
+
+
+def _load_torch_sd(path: str) -> Dict[str, Any]:
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        return load_file(path)
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def _first_existing(d: str, names, required: bool = True) -> Optional[str]:
+    for n in names:
+        p = os.path.join(d, n)
+        if os.path.exists(p):
+            return p
+    if required:
+        raise FileNotFoundError(f"none of {names} in {d}")
+    return None
 
 
 # --------------------------------------------------------------------------

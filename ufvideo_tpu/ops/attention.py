@@ -211,8 +211,17 @@ def attention(
         import os
 
         forced = os.environ.get("UFVIDEO_ATTN_IMPL")
+        if forced == "identity":
+            # the identity ablation corrupts every output in the framework;
+            # it is reachable only via an explicit impl= from bench code.
+            raise ValueError(
+                "UFVIDEO_ATTN_IMPL=identity is not honored (benchmark-only "
+                "ablation); pass impl='identity' explicitly from bench code"
+            )
         if forced:
-            impl = forced
+            # arbitrary masks are XLA-only; never let the override silently
+            # drop them on the kernel path
+            impl = "xla" if (forced == "pallas" and mask is not None) else forced
         else:
             use_pallas = (
                 _on_tpu()
@@ -222,6 +231,11 @@ def attention(
             )
             impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
+        if mask is not None:
+            raise ValueError(
+                "impl='pallas' does not support an arbitrary `mask`; use "
+                "causal/kv_lens/kv_mask or impl='xla'"
+            )
         return _flash_attention_ad(q, k, v, causal, kv_lens, kv_mask, scale)
     if impl == "identity":
         # benchmark-only ablation: bypasses attention math entirely
