@@ -93,21 +93,20 @@ class Conversation:
             return ret
 
         if self.sep_style == SeparatorStyle.LLAMA2:
+            # system is always wrapped into the first (user) message
             def wrap_sys(msg):
-                return f"<<SYS>>\n{msg}\n<</SYS>>\n\n" if msg else msg
+                return f"<<SYS>>\n{msg}\n<</SYS>>\n\n"
 
             def wrap_inst(msg):
                 return f"[INST] {msg} [/INST]"
 
             ret = ""
             for i, (role, message) in enumerate(messages):
-                if i == 0 and message:
-                    message = wrap_sys(self.system) + (
-                        message[0] if isinstance(message, tuple) else message
-                    )
                 if message:
                     if isinstance(message, tuple):
                         message = message[0]
+                    if i == 0:
+                        message = wrap_sys(self.system) + message
                     if i % 2 == 0:
                         ret += self.sep + wrap_inst(message)
                     else:
@@ -169,16 +168,72 @@ conv_vicuna_v1 = Conversation(
 )
 
 conv_llama2 = Conversation(
-    system=(
-        "You are a helpful, respectful and honest assistant. Always answer "
-        "as helpfully as possible, while being safe."
-    ),
+    system="""You are a helpful, respectful and honest assistant. Always answer as helpfully as possible, while being safe.  Your answers should not include any harmful, unethical, racist, sexist, toxic, dangerous, or illegal content. Please ensure that your responses are socially unbiased and positive in nature.
+
+If a question does not make any sense, or is not factually coherent, explain why instead of answering something not correct. If you don't know the answer to a question, please don't share false information.""",
     roles=("USER", "ASSISTANT"),
     messages=[],
     sep_style=SeparatorStyle.LLAMA2,
     sep="<s>",
     sep2="</s>",
     version="llama2",
+)
+
+conv_llava_v1 = Conversation(
+    system=(
+        "A chat between a curious human and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the human's questions."
+    ),
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1",
+)
+
+conv_llava_plain = Conversation(
+    system="",
+    roles=("", ""),
+    messages=[],
+    sep_style=SeparatorStyle.PLAIN,
+    sep="",
+    sep2="\n",
+)
+
+conv_vicuna_v0 = Conversation(
+    system=(
+        "A chat between a curious human and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the human's questions."
+    ),
+    roles=("Human", "Assistant"),
+    messages=[
+        ["Human", "What are the key differences between renewable and non-renewable energy sources?"],
+        ["Assistant",
+         "Renewable energy sources are those that can be replenished naturally in a relatively "
+         "short amount of time, such as solar, wind, hydro, geothermal, and biomass. "
+         "Non-renewable energy sources, on the other hand, are finite and will eventually be "
+         "depleted, such as coal, oil, and natural gas. Here are some key differences between "
+         "renewable and non-renewable energy sources:\n"
+         "1. Availability: Renewable energy sources are virtually inexhaustible, while non-renewable "
+         "energy sources are finite and will eventually run out.\n"
+         "2. Environmental impact: Renewable energy sources have a much lower environmental impact "
+         "than non-renewable sources, which can lead to air and water pollution, greenhouse gas emissions, "
+         "and other negative effects.\n"
+         "3. Cost: Renewable energy sources can be more expensive to initially set up, but they typically "
+         "have lower operational costs than non-renewable sources.\n"
+         "4. Reliability: Renewable energy sources are often more reliable and can be used in more remote "
+         "locations than non-renewable sources.\n"
+         "5. Flexibility: Renewable energy sources are often more flexible and can be adapted to different "
+         "situations and needs, while non-renewable sources are more rigid and inflexible.\n"
+         "6. Sustainability: Renewable energy sources are more sustainable over the long term, while "
+         "non-renewable sources are not, and their depletion can lead to economic and social instability.\n"],
+    ],
+    offset=2,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
 )
 
 conv_mistral = Conversation(
@@ -198,11 +253,15 @@ conv_mistral = Conversation(
 conv_templates = {
     "qwen": conv_qwen,
     "qwen_plain": conv_qwen_plain,
-    "plain": conv_qwen_plain,
-    "default": conv_qwen,
+    # reference registry keys (conversation.py:480-505); "plain" is the
+    # LLaVA pretrain template, "default" the seeded vicuna v0
+    "plain": conv_llava_plain,
+    "v0_plain": conv_llava_plain,
+    "default": conv_vicuna_v0,
+    "v0": conv_vicuna_v0,
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
-    "llava_v1": conv_vicuna_v1,
+    "llava_v1": conv_llava_v1,
     "llama2": conv_llama2,
     "mistral": conv_mistral,
 }
