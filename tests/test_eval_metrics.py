@@ -136,3 +136,67 @@ def test_mask_png_roundtrip(tmp_path):
     loaded = load_mask_pngs(str(tmp_path), "vid1")
     assert len(loaded) == 3
     np.testing.assert_array_equal(np.stack(loaded), masks)
+
+
+def test_span_parsing_reference_parity():
+    """replace_and_normalize / parse_span_from_text / format_1d_box /
+    format_2d_box vs the reference implementations, exec'd from source
+    (inference_PixTRQA.py:165-198, inference_video_TVG.py:38-62)."""
+    import ast
+    import os
+    import re as _re
+
+    from ufvideo_tpu.eval.metrics import (
+        format_1d_box,
+        format_2d_box,
+        parse_span_from_text,
+        replace_and_normalize,
+    )
+
+    ref_dir = "/root/reference/ufvideo/eval"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference oracle not mounted")
+
+    def extract(path, names):
+        src = open(path).read()
+        out = {}
+        for node in ast.parse(src).body:
+            if isinstance(node, ast.FunctionDef) and node.name in names:
+                out[node.name] = ast.get_source_segment(src, node)
+        ns = {"re": _re, "print": lambda *a, **k: None}
+        for n in names:
+            exec(out[n], ns)
+        return ns
+
+    trqa = extract(os.path.join(ref_dir, "inference_PixTRQA.py"),
+                   ["replace_and_normalize", "parse_span_from_text"])
+    tvg = extract(os.path.join(ref_dir, "inference_video_TVG.py"),
+                  ["format_1d_box", "format_2d_box"])
+
+    corpus = [
+        "The event happens at {<TEMP-012>, <TEMP-087>} in the video.",
+        "{<TEMP-012>,<TEMP-087>,}",
+        "box [<WIDTH-10>, <HEIGHT-20>, <WIDTH-90>, <HEIGHT-80>]",
+        "span {1.2, 3.4} and box [0.1, 0.2, 0.3, 0.4]",
+        "{ 5 , 9 }",
+        "nothing to parse here",
+        "<TEMP-000> only one",
+        "[12, 34, 56, 78,]",
+    ]
+    for s in corpus:
+        for rt in (False, True):
+            assert replace_and_normalize(s, rt) == \
+                trqa["replace_and_normalize"](s, rt), (s, rt)
+        norm = replace_and_normalize(s)
+        assert parse_span_from_text(norm) == trqa["parse_span_from_text"](norm), s
+        assert format_1d_box(norm) == tvg["format_1d_box"](norm), s
+        assert format_2d_box(norm) == tvg["format_2d_box"](norm), s
+
+
+def test_parse_temporal_span_reference_formats():
+    # the full reference pipeline: TEMP tokens normalized then brace-parsed
+    s = parse_temporal_span("at {<TEMP-012>, <TEMP-087>}.")
+    assert s is not None
+    assert abs(s[0] - 12 / 99) < 1e-5 and abs(s[1] - 87 / 99) < 1e-5
+    # brace span with raw floats (a real model's '{1.2, 3.4}')
+    assert parse_temporal_span("the span is {1.2, 3.4} ok") == (1.2, 3.4)

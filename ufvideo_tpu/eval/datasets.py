@@ -66,12 +66,14 @@ class SegReferBenchmark:
         num_frames: int = NUM_FRAMES,
         num_sam_frames: Optional[int] = None,
         aspect_ratio: str = "square",
+        mode: Optional[str] = None,
     ):
         self.video_folder = video_folder
         self.data_list = list(data_list)
         self.num_frames = num_frames
         self.num_sam_frames = num_sam_frames
         self.aspect_ratio = aspect_ratio
+        self.mode = mode
 
     def __len__(self):
         return len(self.data_list)
@@ -80,6 +82,11 @@ class SegReferBenchmark:
         line = self.data_list[idx]
         video_path = os.path.join(self.video_folder, line["video"])
         annotations = line.get("annotation", [])
+        if self.mode == "single" and "frame_idx" in line:
+            # VideoRefer-D single mode: keep only the sample's nominated
+            # frame per region (inference_videorefer_d_bench.py:94-99)
+            fidx = str(line["frame_idx"])
+            annotations = [{fidx: ann[fidx]} for ann in annotations]
         layout = _annotation_layout(annotations) if annotations else None
 
         frame_idx = layout["frame_ids"] if layout else None

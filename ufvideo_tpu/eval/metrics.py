@@ -119,14 +119,70 @@ def recall_at_k(ious: Sequence[float], thresholds=(0.3, 0.5, 0.7)):
     }
 
 
+_NORM_TOKEN_RE = re.compile(r"(<WIDTH-(\d+)>|<HEIGHT-(\d+)>|<TEMP-(\d+)>)")
+_SPAN_RE = re.compile(r"{\s*(\d+(?:\.\d+)?)\,\s*(\d+(?:\.\d+)?)\s*}")
+_BOX2D_RE = re.compile(
+    r"\[\s*(\d+(?:\.\d+)?),\s*(\d+(?:\.\d+)?),\s*(\d+(?:\.\d+)?),"
+    r"\s*(\d+(?:\.\d+)?)\s*\]"
+)
+
+
+def replace_and_normalize(input_str: str, return_token: bool = False) -> str:
+    """Normalize <WIDTH-n>/<HEIGHT-n>/<TEMP-n> tokens to 'v/99,' decimal
+    strings (or raw 'n,' with return_token), cleaning trailing commas before
+    ]/}  (reference: inference_PixTRQA.py:165-185)."""
+
+    def normalize(match: re.Match) -> str:
+        value = int(next(g for g in match.groups()[1:] if g is not None))
+        if return_token:
+            return "{:d},".format(value)
+        return "{:.5f},".format(value / 99.0)
+
+    result = _NORM_TOKEN_RE.sub(normalize, input_str)
+    return result.replace(",]", "]").replace(",}", "}")
+
+
+def parse_span_from_text(s: str) -> List[float]:
+    """'{start, end}' brace span, [0, 0] when absent
+    (reference: inference_PixTRQA.py:187-198)."""
+    m = _SPAN_RE.search(s)
+    if m:
+        return [float(m.group(1)), float(m.group(2))]
+    return [0, 0]
+
+
+def format_1d_box(text: str) -> Optional[Tuple[float, float]]:
+    """'{start, end}' brace span, None when absent
+    (reference: inference_video_TVG.py:38-48)."""
+    m = _SPAN_RE.search(text)
+    if m:
+        return float(m.group(1)), float(m.group(2))
+    return None
+
+
+def format_2d_box(text: str) -> Optional[List[float]]:
+    """'[x0, y0, x1, y1]' bracket box, None when absent
+    (reference: inference_video_TVG.py:49-62)."""
+    m = _BOX2D_RE.search(text)
+    if m:
+        return [float(m.group(i)) for i in range(1, 5)]
+    return None
+
+
 def parse_temporal_span(text: str) -> Optional[Tuple[float, float]]:
-    """Extract a normalized (start, end) from generated text containing
-    <TEMP-xxx> tokens or 'from X to Y' second phrasing (reference:
-    inference_PixTRQA.py:165-185 replace_and_normalize)."""
-    temps = [int(m) / 99.0 for m in re.findall(r"<TEMP-(\d{3})>", text)]
+    """Extract a (start, end) span from generated text, matching the
+    reference pipeline: normalize <TEMP-/WIDTH-/HEIGHT-> tokens
+    (inference_PixTRQA.py:165-185), then brace-parse '{x, y}'
+    (inference_video_TVG.py:38-48); falls back to raw <TEMP> pairs and
+    bare number pairs for robustness."""
+    normalized = replace_and_normalize(text)
+    span = format_1d_box(normalized)
+    if span is not None:
+        return span
+    temps = [int(m) / 99.0 for m in re.findall(r"<TEMP-(\d+)>", text)]
     if len(temps) >= 2:
         return temps[0], temps[1]
-    nums = re.findall(r"(\d+(?:\.\d+)?)", text)
+    nums = re.findall(r"(\d+(?:\.\d+)?)", normalized)
     if len(nums) >= 2:
         return float(nums[0]), float(nums[1])
     return None

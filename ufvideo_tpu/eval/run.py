@@ -31,6 +31,13 @@ PIXRQA_QUESTION = (
     "please generate the mask in every frames?"
 )
 
+# D-bench always asks its fixed description question
+# (reference: inference_videorefer_d_bench.py:90)
+VIDEOREFER_D_QUESTION = (
+    "Please give a detailed description of the highlighted object "
+    "[<region>] in the video."
+)
+
 
 def _seg_refer_step(model, tokenizer, sample, args, choice=2, question=None):
     q = question or sample["line"]["conversations"][0][0]["value"]
@@ -78,11 +85,15 @@ def run_benchmark(args) -> None:
         ds = SegReferBenchmark(
             args.video_folder, questions,
             num_sam_frames=args.num_sam_frames or None,
+            mode=args.mode if bench == "videorefer_d" else None,
         )
         for i in range(len(ds)):
             try:
                 sample = ds[i]
-                question = PIXRQA_QUESTION if bench == "pixrqa" else None
+                question = {
+                    "pixrqa": PIXRQA_QUESTION,
+                    "videorefer_d": VIDEOREFER_D_QUESTION,
+                }.get(bench)
                 text, extra = _seg_refer_step(
                     model, tokenizer, sample, args, question=question
                 )
@@ -166,6 +177,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--question-file", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--num-chunks", type=int, default=0)
+    p.add_argument("--mode", choices=["single", "multi"], default="single",
+                   help="videorefer_d: single-frame vs all-frame regions "
+                        "(inference_videorefer_d_bench.py:270)")
     p.add_argument("--num-sam-frames", type=int, default=0)
     p.add_argument("--max-new-tokens", type=int, default=1024)
     return p
