@@ -67,6 +67,8 @@ class SegReferBenchmark:
         num_sam_frames: Optional[int] = None,
         aspect_ratio: str = "square",
         mode: Optional[str] = None,
+        image_size: Optional[int] = None,
+        sam_image_size: Optional[int] = None,
     ):
         self.video_folder = video_folder
         self.data_list = list(data_list)
@@ -74,6 +76,8 @@ class SegReferBenchmark:
         self.num_sam_frames = num_sam_frames
         self.aspect_ratio = aspect_ratio
         self.mode = mode
+        self.image_size = image_size
+        self.sam_image_size = sam_image_size
 
     def __len__(self):
         return len(self.data_list)
@@ -90,11 +94,13 @@ class SegReferBenchmark:
         layout = _annotation_layout(annotations) if annotations else None
 
         frame_idx = layout["frame_ids"] if layout else None
+        kw = {"image_size": self.image_size} if self.image_size else {}
         video, dense, h, w, raw_dense = process_video(
             video_path,
             aspect_ratio=self.aspect_ratio,
             num_frames=self.num_frames,
             frame_idx=frame_idx,
+            **kw,
         )
         sample: Dict[str, Any] = {
             "id": line.get("id", idx),
@@ -116,17 +122,23 @@ class SegReferBenchmark:
         raw, _, _, _ = load_frames(
             video_path, num_frames=self.num_sam_frames or self.num_frames
         )
-        sample["images_sam"] = sam_preprocess(raw)
+        sample["images_sam"] = (
+            sam_preprocess(raw, self.sam_image_size)
+            if self.sam_image_size
+            else sam_preprocess(raw)
+        )
         return sample
 
 
 class MCQABenchmark:
     """MVBench-style MCQA samples."""
 
-    def __init__(self, video_folder: str, data_list, num_frames: int = NUM_FRAMES):
+    def __init__(self, video_folder: str, data_list, num_frames: int = NUM_FRAMES,
+                 image_size: Optional[int] = None):
         self.video_folder = video_folder
         self.data_list = list(data_list)
         self.num_frames = num_frames
+        self.image_size = image_size
 
     def __len__(self):
         return len(self.data_list)
@@ -143,6 +155,7 @@ class MCQABenchmark:
             s=bound[0] if bound else None,
             e=bound[1] if bound else None,
             num_frames=self.num_frames,
+            **({"image_size": self.image_size} if self.image_size else {}),
         )
         question = d["question"]
         options = d["candidates"]
@@ -172,10 +185,12 @@ class TVGBenchmark:
         "timestamp."
     )
 
-    def __init__(self, video_folder: str, data_list, num_frames: int = NUM_FRAMES):
+    def __init__(self, video_folder: str, data_list, num_frames: int = NUM_FRAMES,
+                 image_size: Optional[int] = None):
         self.video_folder = video_folder
         self.data_list = list(data_list)
         self.num_frames = num_frames
+        self.image_size = image_size
 
     def __len__(self):
         return len(self.data_list)
@@ -184,7 +199,8 @@ class TVGBenchmark:
         line = self.data_list[idx]
         video_path = os.path.join(self.video_folder, line["video"])
         video, _, h, w, _ = process_video(
-            video_path, num_frames=self.num_frames
+            video_path, num_frames=self.num_frames,
+            **({"image_size": self.image_size} if self.image_size else {}),
         )
         query = line.get("query") or line.get("event") or line.get("caption")
         return {

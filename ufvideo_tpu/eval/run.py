@@ -66,13 +66,22 @@ def _seg_refer_step(model, tokenizer, sample, args, choice=2, question=None):
     return text, extra
 
 
-def run_benchmark(args) -> None:
+def run_benchmark(args, runtime=None) -> None:
+    """Drive one benchmark. ``runtime`` optionally injects a pre-built
+    (model, processor, tokenizer) triple (tests / multi-benchmark sweeps);
+    otherwise the model loads from args.model_path."""
     rank, world = get_rank_world()
-    model, _, tokenizer = model_init(
-        args.model_path or None,
-        sam_path=args.sam_path or None,
-        tokenizer_path=args.tokenizer_path or None,
-    )
+    if runtime is not None:
+        model, _, tokenizer = runtime
+    else:
+        model, _, tokenizer = model_init(
+            args.model_path or None,
+            sam_path=args.sam_path or None,
+            tokenizer_path=args.tokenizer_path or None,
+        )
+    # preprocessing follows the model's configured resolutions
+    image_size = model.cfg.vision.image_size
+    sam_image_size = model.cfg.sam.hiera.image_size
 
     questions = json.load(open(args.question_file))
     questions = get_chunk(questions, args.num_chunks or world, rank)
@@ -80,12 +89,16 @@ def run_benchmark(args) -> None:
     writer = JsonlWriter(rank_output_path(args.output, rank))
     mask_dir = os.path.splitext(args.output)[0] + "_masks"
 
+    num_frames = getattr(args, "num_frames", 0) or None
+    frames_kw = {"num_frames": num_frames} if num_frames else {}
     bench = args.benchmark
     if bench in ("pixrqa", "pixhqa", "pixtrqa", "videorefer_d", "videorefer_q"):
         ds = SegReferBenchmark(
             args.video_folder, questions,
             num_sam_frames=args.num_sam_frames or None,
             mode=args.mode if bench == "videorefer_d" else None,
+            image_size=image_size, sam_image_size=sam_image_size,
+            **frames_kw,
         )
         for i in range(len(ds)):
             try:
@@ -111,7 +124,8 @@ def run_benchmark(args) -> None:
             except Exception:
                 traceback.print_exc()
     elif bench == "mvbench":
-        ds = MCQABenchmark(args.video_folder, questions)
+        ds = MCQABenchmark(args.video_folder, questions,
+                           image_size=image_size, **frames_kw)
         for i in range(len(ds)):
             try:
                 s = ds[i]
@@ -131,7 +145,8 @@ def run_benchmark(args) -> None:
             except Exception:
                 traceback.print_exc()
     elif bench == "tvg":
-        ds = TVGBenchmark(args.video_folder, questions)
+        ds = TVGBenchmark(args.video_folder, questions,
+                          image_size=image_size, **frames_kw)
         for i in range(len(ds)):
             try:
                 s = ds[i]
@@ -145,7 +160,9 @@ def run_benchmark(args) -> None:
             except Exception:
                 traceback.print_exc()
     elif bench == "mevis":
-        ds = SegReferBenchmark(args.video_folder, questions)
+        ds = SegReferBenchmark(args.video_folder, questions,
+                               image_size=image_size,
+                               sam_image_size=sam_image_size, **frames_kw)
         for i in range(len(ds)):
             try:
                 sample = ds[i]
@@ -181,6 +198,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="videorefer_d: single-frame vs all-frame regions "
                         "(inference_videorefer_d_bench.py:270)")
     p.add_argument("--num-sam-frames", type=int, default=0)
+    p.add_argument("--num-frames", type=int, default=0,
+                   help="override the video frame budget (default NUM_FRAMES)")
     p.add_argument("--max-new-tokens", type=int, default=1024)
     return p
 

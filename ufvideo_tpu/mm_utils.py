@@ -126,9 +126,11 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
     )
 
 
-def siglip_preprocess(frames: Sequence[np.ndarray]) -> np.ndarray:
-    """uint8 RGB frames → [T, 384, 384, 3] float32, SigLIP-normalized."""
-    out = np.stack([_resize(f, SIGLIP_SIZE) for f in frames]).astype(np.float32)
+def siglip_preprocess(
+    frames: Sequence[np.ndarray], size: int = SIGLIP_SIZE
+) -> np.ndarray:
+    """uint8 RGB frames → [T, size, size, 3] float32, SigLIP-normalized."""
+    out = np.stack([_resize(f, size) for f in frames]).astype(np.float32)
     return (out / 255.0 - SIGLIP_MEAN) / SIGLIP_STD
 
 
@@ -230,25 +232,28 @@ def process_video(
     aspect_ratio: str = "pad",
     num_frames: Optional[int] = NUM_FRAMES,
     frame_idx: Optional[Sequence[int]] = None,
+    image_size: int = SIGLIP_SIZE,
 ):
     """Full video branch of the reference process_video (mm_utils.py:161-295).
 
-    Returns (video [T,384,384,3] f32, dense SigLIP frames or None,
-    height, width, raw dense frames list).
+    Returns (video [T,image_size,image_size,3] f32, dense SigLIP frames or
+    None, height, width, raw dense frames list).
     """
     frames, dense, h, w = load_frames(video_path, s, e, num_frames, frame_idx)
     fill = tuple(int(x * 255) for x in SIGLIP_MEAN)
     if aspect_ratio == "pad":
         frames = [expand2square(f, fill) for f in frames]
-        video = siglip_preprocess(frames)
+        video = siglip_preprocess(frames, image_size)
         dense_proc = (
-            siglip_preprocess([expand2square(f, fill) for f in dense])
+            siglip_preprocess([expand2square(f, fill) for f in dense], image_size)
             if dense is not None
             else None
         )
     else:
-        video = siglip_preprocess(frames)
-        dense_proc = siglip_preprocess(dense) if dense is not None else None
+        video = siglip_preprocess(frames, image_size)
+        dense_proc = (
+            siglip_preprocess(dense, image_size) if dense is not None else None
+        )
     raw_dense = list(dense) if dense is not None else []
     return video, dense_proc, h, w, raw_dense
 
