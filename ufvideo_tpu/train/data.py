@@ -71,6 +71,21 @@ def preprocess_conversation(
     return input_ids, labels
 
 
+def normalize_modal_token(
+    conversations: Sequence[Dict[str, str]], modal_token: str
+) -> List[Dict[str, str]]:
+    """Move the modal tag to the question head (reference: train.py:236-258
+    preprocess_multimodal): strip it, prepend '<modal>\\n', strip again."""
+    out = []
+    for s in conversations:
+        v = s["value"]
+        if modal_token in v:
+            v = v.replace(modal_token, "").strip()
+            v = (modal_token + "\n" + v).strip()
+        out.append({**s, "value": v})
+    return out
+
+
 def preprocess_plain(
     source: Sequence[Dict[str, str]],
     tokenizer,
@@ -149,8 +164,150 @@ class SupervisedVideoDataset:
                 idx = self.rng.randrange(len(self.records))
         raise RuntimeError("too many corrupt samples")
 
+    # -- reference seg-task layouts (train.py:418-597) --------------------
+
+    def _ann_mask(self, seg_ann, h=None, w=None) -> np.ndarray:
+        if seg_ann is None:
+            return np.zeros((h, w), np.uint8)
+        if isinstance(seg_ann, dict) and "segmentation" in seg_ann:
+            seg_ann = seg_ann["segmentation"]
+        return rle.ann_to_mask(seg_ann, h, w)
+
+    def _load_unibench(self, rec: Dict) -> TrainSample:
+        """UFVideo-Bench task1/2/3 branches (reference train.py:420-541).
+
+        task1 (temporal region→mask): region prompt on a first frame chosen
+        from the first quarter of frame_list, masks supervised on 4 random
+        later frames. task2/task3: 4 random frames from frame_idx, zero
+        region prompt masks, masks supervised on all 4.
+        """
+        cfg = self.cfg
+        task = rec["unibench"]
+        video_path = os.path.join(self.video_root, rec["video"])
+        annotations = rec["annotation"]
+
+        if task == "task1":
+            all_avail = sorted(rec["frame_list"])
+            total = len(all_avail)
+            quarter = max(1, total // 4)
+            valid_first = [
+                f for i, f in enumerate(all_avail[:quarter])
+                if all_avail.index(f) + 4 < total
+            ]
+            first = self.rng.choice(valid_first) if valid_first else all_avail[0]
+            first_pos = all_avail.index(first)
+            rand4 = sorted(self.rng.sample(all_avail[first_pos + 1:], 4))
+            # ordered [first] + rand4 (the reference iterates a set here,
+            # train.py:465-469 — we pin the natural deterministic order)
+            frame_ids = [int(first)] + [int(f) for f in rand4]
+            conversations = rec["conversations"]
+        else:  # task2 / task3
+            rand4 = sorted(self.rng.sample(list(rec["frame_idx"]), 4))
+            frame_ids = [int(f) for f in rand4]
+            first = None
+            # task2/3 nest the conversation one level deeper (train.py:539)
+            conversations = rec["conversations"][0] if (
+                rec["conversations"] and isinstance(rec["conversations"][0], list)
+            ) else rec["conversations"]
+
+        video, dense, h, w, raw_dense = process_video(
+            video_path,
+            aspect_ratio="square",
+            num_frames=cfg.budget.num_frames,
+            frame_idx=frame_ids,
+        )
+
+        conversations = normalize_modal_token(conversations, DEFAULT_VIDEO_TOKEN)
+        input_ids, labels = preprocess_conversation(
+            conversations, self.tokenizer, DEFAULT_VIDEO_TOKEN
+        )
+        sample = TrainSample(input_ids=input_ids, labels=labels, video=video)
+
+        if task == "task1":
+            # region prompt: first frame only (train.py:483 frame[0]);
+            # SAM supervision on the 4 later frames (train.py:481 frames[1:])
+            sample.region_frames = dense[:1]
+            sample.region_masks = np.asarray(
+                [self._ann_mask(ann[str(first)], h, w) for ann in annotations],
+                np.float32,
+            )
+            sample.ann_indices = [[0]] * len(annotations)
+            sam_raw = raw_dense[1:]
+        else:
+            # zero region prompt (train.py:606-607): masks are zeros at the
+            # reference's fixed 336 grid, SAM supervision on all 4 frames
+            sample.region_frames = dense[:1]
+            sample.region_masks = np.zeros((1, 336, 336), np.float32)
+            sample.ann_indices = [[0]]
+            sam_raw = raw_dense
+
+        sample.images_sam = sam_preprocess(sam_raw, size=cfg.sam.hiera.image_size)
+        gt = [
+            np.stack([self._ann_mask(ann[str(j)], h, w) for j in rand4])
+            for ann in annotations
+        ]
+        sample.gt_masks = np.stack(gt).astype(np.float32)
+        return sample
+
+    def _load_classic_seg(self, rec: Dict) -> TrainSample:
+        """Classic per-frame-file segmentation (reference train.py:543-597):
+        'video' is a list of frame image paths, conversations[0] is a class
+        name formatted into a random QUESTION_LIST/ANSWER_LIST template."""
+        cfg = self.cfg
+        files = [os.path.join(self.video_root, f) for f in rec["video"]]
+        sequence = rec["no_none_frame_idx"]
+        n_sam = cfg.budget.num_frames_sam
+        chosen = sorted(
+            self.rng.sample(list(sequence), min(n_sam, len(sequence)))
+        )
+        while len(chosen) < n_sam:
+            chosen.append(chosen[-1])
+
+        video, dense, h, w, _ = process_video(
+            files,
+            aspect_ratio="square",
+            num_frames=cfg.budget.num_frames,
+            frame_idx=sequence,
+        )
+        from ..mm_utils import load_frames
+
+        sam_frames, _, _, _ = load_frames(
+            [files[x] for x in chosen], num_frames=None
+        )
+
+        class_name = rec["conversations"][0]
+        q = self.rng.choice(QUESTION_LIST).format(class_name=class_name)
+        a = self.rng.choice(ANSWER_LIST)
+        conversations = normalize_modal_token(
+            [
+                {"from": "human", "value": f"{DEFAULT_VIDEO_TOKEN}\n{q}"},
+                {"from": "gpt", "value": a},
+            ],
+            DEFAULT_VIDEO_TOKEN,
+        )
+        input_ids, labels = preprocess_conversation(
+            conversations, self.tokenizer, DEFAULT_VIDEO_TOKEN
+        )
+        sample = TrainSample(input_ids=input_ids, labels=labels, video=video)
+        sample.region_frames = dense[:1]
+        sample.region_masks = np.zeros((1, 336, 336), np.float32)
+        sample.ann_indices = [[0]]
+        sample.images_sam = sam_preprocess(
+            sam_frames, size=cfg.sam.hiera.image_size
+        )
+        gt = np.stack(
+            [self._ann_mask(rec["segmentations"][j], h, w) for j in chosen]
+        )
+        sample.gt_masks = gt[None].astype(np.float32)
+        return sample
+
     def _load(self, rec: Dict) -> TrainSample:
         cfg = self.cfg
+        if "seg" in rec and "video" in rec:
+            if rec.get("unibench") in ("task1", "task2", "task3"):
+                return self._load_unibench(rec)
+            if isinstance(rec["video"], list):
+                return self._load_classic_seg(rec)
         # image samples are a single frame expanded to the frame budget
         # (reference: train.py:329-342, videorefer_arch.py:173-175)
         if "image" in rec and "video" not in rec:
@@ -221,7 +378,8 @@ class SupervisedVideoDataset:
         )
 
         input_ids, labels = preprocess_conversation(
-            conversations, self.tokenizer, DEFAULT_VIDEO_TOKEN
+            normalize_modal_token(conversations, DEFAULT_VIDEO_TOKEN),
+            self.tokenizer, DEFAULT_VIDEO_TOKEN,
         )
 
         sample = TrainSample(
