@@ -171,3 +171,37 @@ def test_sampling_generate(hf_and_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     toks = np.asarray(run(1))
     assert ((toks >= 0) & (toks < TINY.vocab_size)).all()
+
+
+def test_keyword_stop_sequences(hf_and_params):
+    """Multi-token keyword stopping (the tokenized KeywordsStoppingCriteria,
+    reference mm_utils.py:418-449): generation halts once the trailing
+    generated ids equal a stop sequence."""
+    _, _, params = hf_and_params
+    model = _model()
+    rng = np.random.RandomState(5)
+    ids = rng.randint(3, TINY.vocab_size, size=(1, 6)).astype(np.int32)
+    embeds = model.apply({"params": params}, jnp.asarray(ids), method=Qwen2LM.embed)
+    lens = jnp.array([ids.shape[1]], jnp.int32)
+
+    free = greedy_generate(
+        model, params, embeds, lens, max_new_tokens=8,
+        stop_ids=(), cache_max_len=32,
+    )
+    toks = np.asarray(free.tokens[0])
+    # stop on the 2nd-3rd generated tokens as a keyword
+    kw = (int(toks[1]), int(toks[2]))
+    stopped = greedy_generate(
+        model, params, embeds, lens, max_new_tokens=8,
+        stop_ids=(), cache_max_len=32, stop_sequences=(kw,),
+    )
+    assert int(stopped.gen_lens[0]) == 3
+    np.testing.assert_array_equal(
+        np.asarray(stopped.tokens[0, :3]), toks[:3]
+    )
+    # single-token sequences behave like stop_ids
+    single = greedy_generate(
+        model, params, embeds, lens, max_new_tokens=8,
+        stop_ids=(), cache_max_len=32, stop_sequences=((int(toks[1]),),),
+    )
+    assert int(single.gen_lens[0]) == 2

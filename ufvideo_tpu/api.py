@@ -112,9 +112,12 @@ class UFVideoRuntime:
         temperature: float = 1.0,
         top_p: float = 1.0,
         seed: int = 0,
+        stop_sequences: tuple = (),
     ):
         """Greedy decode. Returns (generated ids list, hidden states of the
-        steps that produced them [N, hidden], spliced plan)."""
+        steps that produced them [N, hidden], spliced plan).
+        ``stop_sequences``: tokenized keyword stops (tuple of id tuples),
+        the in-loop equivalent of KeywordsStoppingCriteria."""
         cfg = self.cfg
         plan = plan_splice(
             [input_ids],
@@ -145,6 +148,7 @@ class UFVideoRuntime:
             temperature=temperature,
             top_p=top_p,
             rng=jax.random.PRNGKey(seed),
+            stop_sequences=tuple(tuple(s) for s in stop_sequences),
         )
         n = int(res.gen_lens[0])
         tokens = np.asarray(res.tokens[0, :n])
@@ -344,6 +348,12 @@ def mm_infer(
         kwargs.get("temperature", 0.2 if do_sample else 0.0) or 1.0
     )
     top_p = float(kwargs.get("top_p", 0.9))
+    # keyword stopping (reference KeywordsStoppingCriteria, mm_utils.py:
+    # 418-449): tokenize keyword strings once; matching runs in-loop on ids
+    stop_sequences = tuple(
+        tuple(tokenizer(s, add_special_tokens=False).input_ids)
+        for s in (kwargs.get("stop_strings") or [])
+    )
     seg_in_input = model.ids.seg in input_ids
 
     if not seg_in_input:
@@ -353,6 +363,7 @@ def mm_infer(
             input_ids, video_feats, region_feats, region_counts,
             max_new_tokens=max_new_tokens,
             do_sample=do_sample, temperature=temperature, top_p=top_p,
+            stop_sequences=stop_sequences,
         )
         output_text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
 

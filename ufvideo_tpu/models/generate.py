@@ -63,7 +63,7 @@ def _sample_token(logits: jnp.ndarray, key, do_sample: bool,
     jax.jit,
     static_argnames=(
         "model", "max_new_tokens", "stop_ids", "cache_max_len", "vocab_size",
-        "do_sample", "temperature", "top_p",
+        "do_sample", "temperature", "top_p", "stop_sequences",
     ),
 )
 def greedy_generate(
@@ -80,14 +80,26 @@ def greedy_generate(
     temperature: float = 1.0,
     top_p: float = 1.0,
     rng: jnp.ndarray | None = None,
+    stop_sequences: Tuple[Tuple[int, ...], ...] = (),
 ) -> GenerateResult:
     """One fused dispatch for prefill + the whole decode loop — eager
     stage-by-stage dispatch costs seconds per call on remote runtimes.
-    Greedy by default; do_sample enables temperature/top-p sampling."""
+    Greedy by default; do_sample enables temperature/top-p sampling.
+
+    ``stop_sequences``: multi-token keyword stops, matched in-loop against
+    the trailing generated ids — the tokenized equivalent of the reference's
+    string-level KeywordsStoppingCriteria (mm_utils.py:418-449), without
+    host round-trips per step. Single-token keywords belong in ``stop_ids``.
+    """
     cfg: Qwen2Config = model.cfg
     b, s, hid = input_embeds.shape
     vocab_size = vocab_size or cfg.vocab_size
     assert cache_max_len >= s + max_new_tokens, (cache_max_len, s, max_new_tokens)
+    # single-token "sequences" are just extra stop ids
+    stop_ids = tuple(stop_ids) + tuple(
+        seq[0] for seq in stop_sequences if len(seq) == 1
+    )
+    stop_sequences = tuple(seq for seq in stop_sequences if len(seq) > 1)
     stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
 
     cache = make_kv_cache(cfg, b, cache_max_len, dtype=model.dtype)
@@ -155,6 +167,15 @@ def greedy_generate(
             jnp.where(done[:, None], hiddens[:, step], h.astype(model.dtype))
         )
         now_done = jnp.logical_or(done, jnp.isin(nxt, stop_arr))
+        # multi-token keyword stop: trailing generated ids == keyword ids
+        for seq in stop_sequences:
+            k = len(seq)
+            window = jax.lax.dynamic_slice_in_dim(
+                tokens, step - (k - 1), k, axis=1
+            )
+            match = jnp.all(window == jnp.asarray(seq, jnp.int32)[None], axis=1)
+            match = jnp.logical_and(match, step + 1 >= k)
+            now_done = jnp.logical_or(now_done, jnp.logical_and(match, ~done))
         gen_lens = jnp.where(done, gen_lens, step + 1)
         cache_len = jnp.where(done, cache_len, cache_len + 1)
         return (
