@@ -45,3 +45,70 @@ def test_quantized_lm_matches_fp():
     assert c > 0.99
     agree = (ref.argmax(-1) == got.argmax(-1)).mean()
     assert agree > 0.8
+
+
+def test_quantize_kernel4_roundtrip():
+    from ufvideo_tpu.quant import quantize_kernel4
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (128, 16)) * 0.3
+    qd = quantize_kernel4(w, group=64)
+    assert qd["q"].dtype == jnp.int4
+    assert qd["scale"].shape == (2, 16)
+    deq = (
+        qd["q"].astype(jnp.float32).reshape(2, 64, 16)
+        * qd["scale"][:, None, :]
+    ).reshape(128, 16)
+    err = np.abs(np.asarray(deq - w))
+    step = np.repeat(np.asarray(qd["scale"]), 64, axis=0)
+    assert (err <= step * 0.51).all()
+
+
+def test_int4_lm_matches_fp():
+    model = Qwen2LM(TINY, dtype=jnp.float32, param_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))[
+        "params"
+    ]
+    qparams = quantize_qwen2_params(params, bits=4)
+    qmodel = Qwen2LM(
+        TINY, dtype=jnp.float32, param_dtype=jnp.float32, quant="int4"
+    )
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 9), 3, TINY.vocab_size)
+    ref = np.asarray(
+        model.apply({"params": params}, ids)[..., : TINY.vocab_size],
+        np.float32,
+    )
+    got = np.asarray(
+        qmodel.apply({"params": qparams}, ids)[..., : TINY.vocab_size],
+        np.float32,
+    )
+    # the tiny random-init model has near-noise logits (greedy argmax is not
+    # a meaningful int4 metric here; exact-math parity is asserted below in
+    # test_int4_dense_exact) — require strong overall correlation only
+    c = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert c > 0.9
+
+
+def test_int4_dense_exact():
+    """QuantDense(int4) == x @ dequantized(W): the grouped-einsum path is
+    exactly the blockwise-dequant matmul."""
+    from ufvideo_tpu.models.qwen2 import QuantDense
+    from ufvideo_tpu.quant import quantize_kernel4
+
+    din, dout, g = 128, 48, 64
+    w = jax.random.normal(jax.random.PRNGKey(3), (din, dout)) * 0.2
+    qd = quantize_kernel4(w, group=g)
+    x = jax.random.normal(jax.random.PRNGKey(4), (5, din))
+
+    layer = QuantDense(dout, use_bias=False, dtype=jnp.float32, bits=4,
+                       group=g)
+    y = layer.apply(
+        {"params": {"kernel_q": qd["q"], "kernel_scale": qd["scale"]}}, x
+    )
+    deq = (
+        qd["q"].astype(jnp.float32).reshape(din // g, g, dout)
+        * qd["scale"][:, None, :]
+    ).reshape(din, dout)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x @ deq), rtol=1e-5, atol=1e-5
+    )

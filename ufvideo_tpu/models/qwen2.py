@@ -56,28 +56,57 @@ def make_kv_cache(
 
 
 class QuantDense(nn.Module):
-    """Dense with int8 weights + per-output-channel fp32 scales (see
-    ufvideo_tpu.quant). The scale applies to the output, so the kernel is
-    read from HBM as int8."""
+    """Dense with int8 or int4 weight-only quantization (see
+    ufvideo_tpu.quant; the TPU equivalent of the reference's bnb 8/4-bit
+    load, model/__init__.py:50-60).
+
+    int8: per-output-channel fp32 scales — the scale applies to the output,
+    so the kernel is read from HBM as int8. int4: native jnp.int4 storage
+    (XLA packs two values per byte on TPU) with per-(input-group, column)
+    scales; the group scale can't commute past the full contraction, so the
+    dot runs as a grouped einsum with the fp32 partials scaled per group."""
 
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    bits: int = 8
+    group: int = 64  # int4 scale group along the contraction axis
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        q = self.param(
-            "kernel_q", nn.initializers.zeros,
-            (x.shape[-1], self.features), jnp.int8,
-        )
-        scale = self.param(
-            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
-        )
-        y = jnp.dot(
-            x.astype(self.dtype), q.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        y = (y * scale).astype(self.dtype)
+        din = x.shape[-1]
+        if self.bits == 8:
+            q = self.param(
+                "kernel_q", nn.initializers.zeros,
+                (din, self.features), jnp.int8,
+            )
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,),
+                jnp.float32,
+            )
+            y = jnp.dot(
+                x.astype(self.dtype), q.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            y = (y * scale).astype(self.dtype)
+        else:
+            assert self.bits == 4 and din % self.group == 0, (self.bits, din)
+            g = din // self.group
+            q = self.param(
+                "kernel_q", nn.initializers.zeros,
+                (din, self.features), jnp.int4,
+            )
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones,
+                (g, self.features), jnp.float32,
+            )
+            xg = x.astype(self.dtype).reshape(x.shape[:-1] + (g, self.group))
+            qg = q.astype(self.dtype).reshape(g, self.group, self.features)
+            part = jnp.einsum(
+                "...gi,gio->...go", xg, qg,
+                preferred_element_type=jnp.float32,
+            )
+            y = jnp.einsum("...go,go->...o", part, scale).astype(self.dtype)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.dtype
@@ -86,11 +115,15 @@ class QuantDense(nn.Module):
         return y
 
 
+def _quant_bits(quant) -> int:
+    return 4 if quant in (4, "int4", "4bit") else 8
+
+
 class Qwen2DecoderLayer(nn.Module):
     cfg: Qwen2Config
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
-    quant: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, carry: Tuple, cache_layer: Optional[Dict], mode: str):
@@ -100,7 +133,8 @@ class Qwen2DecoderLayer(nn.Module):
 
         if self.quant:
             dense = lambda feats, bias, name: QuantDense(
-                feats, use_bias=bias, dtype=self.dtype, name=name
+                feats, use_bias=bias, dtype=self.dtype,
+                bits=_quant_bits(self.quant), name=name,
             )
         else:
             dense = lambda feats, bias, name: nn.Dense(
@@ -180,7 +214,7 @@ class Qwen2LM(nn.Module):
     cfg: Qwen2Config
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
-    quant: bool = False  # int8 weight-only (ufvideo_tpu.quant)
+    quant: Any = False  # False | True/'int8' | 'int4' (ufvideo_tpu.quant)
 
     def setup(self):
         cfg = self.cfg
@@ -195,7 +229,7 @@ class Qwen2LM(nn.Module):
         if self.quant:
             self.lm_head = QuantDense(
                 cfg.padded_vocab_size, use_bias=False, dtype=self.dtype,
-                name="lm_head",
+                bits=_quant_bits(self.quant), name="lm_head",
             )
         else:
             self.lm_head = nn.Dense(

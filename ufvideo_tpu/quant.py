@@ -32,19 +32,46 @@ def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "scale": scale}
 
 
-def quantize_qwen2_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Qwen2LM params → quantized layout consumed by Qwen2LM(quant=True).
+def quantize_kernel4(w: jnp.ndarray, group: int = 64) -> Dict[str, jnp.ndarray]:
+    """[..., in, out] float kernel → {'q': int4, 'scale': f32[..., in/g, out]}
+    with symmetric per-(input-group, output-column) scales — the TPU analog
+    of bnb's blockwise 4-bit (reference model/__init__.py:52-58)."""
+    wf = w.astype(jnp.float32)
+    *lead, din, dout = wf.shape
+    assert din % group == 0, (din, group)
+    g = din // group
+    wg = wf.reshape(*lead, g, group, dout)
+    scale = jnp.max(jnp.abs(wg), axis=-2) / 7.0  # [..., g, out]
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wg / scale[..., None, :]), -7, 7)
+    return {
+        "q": q.reshape(*lead, din, dout).astype(jnp.int4),
+        "scale": scale,
+    }
+
+
+def quantize_qwen2_params(
+    params: Dict[str, Any], bits: int = 8, group: int = 64
+) -> Dict[str, Any]:
+    """Qwen2LM params → quantized layout consumed by
+    Qwen2LM(quant=True/'int4').
 
     Every Dense kernel (attention projections, MLP, lm_head) is replaced by
     kernel_q/kernel_scale; embeddings and norms stay bf16/fp32.
     """
+    assert bits in (4, 8), bits
+
+    def qfn(w):
+        if bits == 8:
+            return quantize_kernel(w)
+        return quantize_kernel4(w, group)
 
     def walk(tree):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
                 if "kernel" in v and getattr(v["kernel"], "ndim", 0) >= 2:
-                    qd = quantize_kernel(jnp.asarray(v["kernel"]))
+                    qd = qfn(jnp.asarray(v["kernel"]))
                     nv = {"kernel_q": qd["q"], "kernel_scale": qd["scale"]}
                     if "bias" in v:
                         nv["bias"] = v["bias"]
