@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 
@@ -145,6 +145,10 @@ class SAM2HieraConfig:
     patch_padding: int = 3
     mlp_ratio: float = 4.0
     image_size: int = 1024
+    # TPU layout: lanes per head in the qkv/proj params (zero-padded from
+    # head_dim=72 by the converter; 0 = native). Keeps the head-split
+    # reshape 128-aligned — see models/sam2/hiera.py MultiScaleAttention.
+    head_pad: int = 128
 
 
 @dataclass(frozen=True)
@@ -224,7 +228,7 @@ class UFVideoConfig:
     compute_dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     # int8 weight-only LLM (bnb 4/8-bit load parity; ufvideo_tpu.quant)
-    quant_llm: bool = False
+    quant_llm: Any = False  # False | True/'int8' | 'int4' weight-only LLM
 
     @property
     def num_video_tokens(self) -> int:

@@ -38,6 +38,26 @@ def _attn(sd, p):
     }
 
 
+def _pad_attn(qkv: Dict, proj: Dict, num_heads: int, hd: int, hp: int):
+    """Zero-pad per-head qkv columns / proj rows from head_dim to head_pad
+    lanes (see hiera.MultiScaleAttention.head_pad — math-preserving TPU
+    layout; zero pads contribute nothing to scores or outputs)."""
+    din = qkv["kernel"].shape[0]
+    k = qkv["kernel"].reshape(din, 3, num_heads, hd)
+    k = np.pad(k, ((0, 0), (0, 0), (0, 0), (0, hp - hd)))
+    qkv = {"kernel": k.reshape(din, 3 * num_heads * hp).copy(),
+           "bias": np.pad(
+               qkv["bias"].reshape(3, num_heads, hd),
+               ((0, 0), (0, 0), (0, hp - hd)),
+           ).reshape(3 * num_heads * hp).copy()}
+    dout = proj["kernel"].shape[1]
+    pk = proj["kernel"].reshape(num_heads, hd, dout)
+    pk = np.pad(pk, ((0, 0), (0, hp - hd), (0, 0)))
+    proj = {"kernel": pk.reshape(num_heads * hp, dout).copy(),
+            "bias": proj["bias"]}
+    return qkv, proj
+
+
 def convert_hiera(sd: Mapping, cfg: SAM2Config, prefix="image_encoder.trunk") -> Dict:
     h = cfg.hiera
     depth = sum(h.stages)
@@ -48,21 +68,30 @@ def convert_hiera(sd: Mapping, cfg: SAM2Config, prefix="image_encoder.trunk") ->
         "pos_embed": _np(sd[f"{prefix}.pos_embed"])[0].transpose(1, 2, 0),
         "pos_embed_window": _np(sd[f"{prefix}.pos_embed_window"])[0].transpose(1, 2, 0),
     }
+    embed_dim, num_heads = h.embed_dim, h.num_heads
     for i in range(depth):
+        dim_out = embed_dim
+        if i - 1 in stage_ends:
+            dim_out = int(embed_dim * h.dim_mul)
+            num_heads = int(num_heads * h.head_mul)
         bp = f"{prefix}.blocks.{i}"
+        qkv = _linear(sd, f"{bp}.attn.qkv")
+        proj = _linear(sd, f"{bp}.attn.proj")
+        if h.head_pad:
+            qkv, proj = _pad_attn(
+                qkv, proj, num_heads, dim_out // num_heads, h.head_pad
+            )
         blk = {
             "norm1": _ln(sd, f"{bp}.norm1"),
             "norm2": _ln(sd, f"{bp}.norm2"),
-            "attn": {
-                "qkv": _linear(sd, f"{bp}.attn.qkv"),
-                "proj": _linear(sd, f"{bp}.attn.proj"),
-            },
+            "attn": {"qkv": qkv, "proj": proj},
             "mlp_layers_0": _linear(sd, f"{bp}.mlp.layers.0"),
             "mlp_layers_1": _linear(sd, f"{bp}.mlp.layers.1"),
         }
         if f"{bp}.proj.weight" in sd:
             blk["proj"] = _linear(sd, f"{bp}.proj")
         out[f"blocks_{i}"] = blk
+        embed_dim = dim_out
     return out
 
 

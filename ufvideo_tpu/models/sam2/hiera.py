@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...configs import SAM2Config, SAM2HieraConfig
-from ...ops.attention import attention
+from ...ops.attention import attention, window_dense_attention
 from .common import position_embedding_sine
 
 
@@ -48,34 +48,51 @@ def window_unpartition(
 
 
 class MultiScaleAttention(nn.Module):
-    """Windowed attention with optional q max-pooling (sam2.py:1000-1046)."""
+    """Windowed attention with optional q max-pooling (sam2.py:1000-1046).
+
+    ``head_pad``: TPU layout optimization — each head occupies ``head_pad``
+    lanes in the qkv/proj parameters (zero-padded columns/rows written by
+    the converter), so the head-split reshape is 128-lane-aligned and never
+    forces a padded relayout of the activations in HBM. The softmax scale
+    stays ``real_head_dim**-0.5`` and zero pads contribute nothing, so the
+    math is exact. Measured: the unaligned d=72 head split costs ~40% of
+    the whole Hiera-L encode at 1024² (PERF.md).
+    """
 
     dim_out: int
     num_heads: int
     q_stride: Optional[Tuple[int, int]] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    head_pad: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, H, W, C]
         b, h, w, _ = x.shape
         hd = self.dim_out // self.num_heads
+        hp = self.head_pad or hd
+        assert hp >= hd, (hp, hd)
         qkv = nn.Dense(
-            self.dim_out * 3, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="qkv",
+            3 * self.num_heads * hp, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="qkv",
         )(x.reshape(b, h * w, -1))
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, hd)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, hp)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         if self.q_stride is not None:
             sy, sx = self.q_stride
-            q = q.reshape(b, h, w, self.num_heads * hd)
+            q = q.reshape(b, h, w, self.num_heads * hp)
             q = nn.max_pool(q, window_shape=(sy, sx), strides=(sy, sx))
             h, w = q.shape[1], q.shape[2]
-            q = q.reshape(b, h * w, self.num_heads, hd)
+            q = q.reshape(b, h * w, self.num_heads, hp)
 
-        o = attention(q, k, v)
-        o = o.reshape(b, h, w, self.dim_out)
+        scale = hd ** -0.5
+        if q.shape[1] >= 128:
+            # global blocks ride the flash kernel
+            o = attention(q, k, v, scale=scale)
+        else:
+            o = window_dense_attention(q, k, v, scale=scale)
+        o = o.reshape(b, h, w, self.num_heads * hp)
         return nn.Dense(
             self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,
             name="proj",
@@ -94,6 +111,7 @@ class MultiScaleBlock(nn.Module):
     window_size: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    head_pad: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +142,7 @@ class MultiScaleBlock(nn.Module):
 
         att = MultiScaleAttention(
             self.dim_out, self.num_heads, self.q_stride,
-            self.dtype, self.param_dtype, name="attn",
+            self.dtype, self.param_dtype, self.head_pad, name="attn",
         )(att_in)
 
         if self.q_stride is not None:
@@ -221,6 +239,7 @@ class Hiera(nn.Module):
                 window_size=window_size,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                head_pad=cfg.head_pad,
                 name=f"blocks_{i}",
             )(x)
             embed_dim = dim_out

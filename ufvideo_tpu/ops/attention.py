@@ -259,6 +259,31 @@ def attention(
     )
 
 
+def window_dense_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+) -> jnp.ndarray:
+    """Unmasked attention for small windows (SAM2 Hiera's windowed stages),
+    in the inputs' dtype with fp32 softmax accumulation.
+
+    Unlike :func:`xla_attention` this never upcasts q/k/v to fp32 in HBM —
+    at thousands of tiny windows per frame that upcast (plus fp32 score
+    materialization) dominates the image-encoder runtime. No GQA, no masks:
+    window attention needs neither.
+    """
+    b, sq, hq, d = q.shape
+    assert k.shape[2] == hq, (k.shape, hq)
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+
+
 def decode_attention(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
