@@ -124,6 +124,11 @@ class Qwen2DecoderLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     quant: Any = False
+    # sequence parallelism: (mesh, seq_axis, batch_axis or None) — train-mode
+    # attention runs as ring attention with the sequence sharded over
+    # mesh[seq_axis] (ops/ring_attention.py); everything else in the layer is
+    # token-local, so XLA shards it by propagation
+    ring: Optional[Tuple] = None
 
     @nn.compact
     def __call__(self, carry: Tuple, cache_layer: Optional[Dict], mode: str):
@@ -160,7 +165,16 @@ class Qwen2DecoderLayer(nn.Module):
 
         new_cache = cache_layer
         if mode == "train":
-            o = attention(q, k, v, causal=True, kv_lens=seq_lens)
+            if self.ring is not None:
+                from ..ops.ring_attention import ring_attention
+
+                mesh, seq_axis, batch_axis = self.ring
+                o = ring_attention(
+                    q, k, v, mesh, axis=seq_axis, causal=True,
+                    kv_lens=seq_lens, batch_axis=batch_axis,
+                )
+            else:
+                o = attention(q, k, v, causal=True, kv_lens=seq_lens)
         elif mode == "prefill":
             # cache layout [B, Hkv, S, D]
             kc = jax.lax.dynamic_update_slice(
@@ -215,6 +229,7 @@ class Qwen2LM(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     quant: Any = False  # False | True/'int8' | 'int4' (ufvideo_tpu.quant)
+    ring: Optional[Tuple] = None  # (mesh, seq_axis, batch_axis) — see layer
 
     def setup(self):
         cfg = self.cfg
@@ -244,7 +259,8 @@ class Qwen2LM(nn.Module):
             out_axes=0,
             length=cfg.num_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, self.dtype, self.param_dtype, self.quant, name="layers")
+        )(cfg, self.dtype, self.param_dtype, self.quant, self.ring,
+          name="layers")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(jnp.maximum(input_ids, 0))

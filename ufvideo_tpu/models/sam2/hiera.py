@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ...configs import SAM2Config, SAM2HieraConfig
 from ...ops.attention import attention, window_dense_attention
+from ...ops.window_attention import fused_window_attention
 from .common import position_embedding_sine
 
 
@@ -76,22 +77,26 @@ class MultiScaleAttention(nn.Module):
             3 * self.num_heads * hp, dtype=self.dtype,
             param_dtype=self.param_dtype, name="qkv",
         )(x.reshape(b, h * w, -1))
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, hp)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
-        if self.q_stride is not None:
-            sy, sx = self.q_stride
-            q = q.reshape(b, h, w, self.num_heads * hp)
-            q = nn.max_pool(q, window_shape=(sy, sx), strides=(sy, sx))
-            h, w = q.shape[1], q.shape[2]
-            q = q.reshape(b, h * w, self.num_heads, hp)
 
         scale = hd ** -0.5
-        if q.shape[1] >= 128:
-            # global blocks ride the flash kernel
-            o = attention(q, k, v, scale=scale)
+        tokens = h * w
+        if self.q_stride is None and tokens < 128 and hp % 128 == 0:
+            # windowed block: fused kernel, heads never split in HBM
+            o = fused_window_attention(qkv, self.num_heads, hd, hp)
         else:
-            o = window_dense_attention(q, k, v, scale=scale)
+            qkv = qkv.reshape(b, tokens, 3, self.num_heads, hp)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if self.q_stride is not None:
+                sy, sx = self.q_stride
+                q = q.reshape(b, h, w, self.num_heads * hp)
+                q = nn.max_pool(q, window_shape=(sy, sx), strides=(sy, sx))
+                h, w = q.shape[1], q.shape[2]
+                q = q.reshape(b, h * w, self.num_heads, hp)
+            if q.shape[1] >= 128:
+                # global blocks ride the flash kernel
+                o = attention(q, k, v, scale=scale)
+            else:
+                o = window_dense_attention(q, k, v, scale=scale)
         o = o.reshape(b, h, w, self.num_heads * hp)
         return nn.Dense(
             self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,

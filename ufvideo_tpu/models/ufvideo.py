@@ -56,14 +56,16 @@ class UFVideoModel:
     through explicit pure functions so prefill/decode/training can compose
     them freely under jit."""
 
-    def __init__(self, cfg: UFVideoConfig):
+    def __init__(self, cfg: UFVideoConfig, ring=None):
+        """``ring``: optional (mesh, seq_axis, batch_axis) enabling
+        sequence-parallel (ring) attention in the LLM's train path."""
         self.cfg = cfg
         dt, pt = cfg.compute_dtype, cfg.param_dtype
         self.vision = SiglipVisionTower(cfg.vision, dtype=dt, param_dtype=pt)
         self.projector = build_projector(cfg.projector, dtype=dt, param_dtype=pt)
         self.region = RegionProjector(cfg.region, dtype=dt, param_dtype=pt)
         self.llm = Qwen2LM(
-            cfg.llm, dtype=dt, param_dtype=pt, quant=cfg.quant_llm
+            cfg.llm, dtype=dt, param_dtype=pt, quant=cfg.quant_llm, ring=ring
         )
         self.text_fcs = TextHiddenFC(
             cfg.llm.hidden_size, cfg.sam_out_dim, dtype=dt, param_dtype=pt

@@ -28,6 +28,7 @@ def _ring_attention_local(
     q: jnp.ndarray,  # [B, Sq_local, Hq, D]
     k: jnp.ndarray,  # [B, Skv_local, Hkv, D]
     v: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray],  # [B] global valid kv length
     *,
     axis_name: str,
     causal: bool,
@@ -52,6 +53,9 @@ def _ring_attention_local(
         if causal:
             cmask = col[None, :] <= row[:, None]
             s = jnp.where(cmask[None, None, None], s, _NEG_INF)
+        if kv_lens is not None:
+            valid = col[None, :] < kv_lens[:, None]  # [B, skv]
+            s = jnp.where(valid[:, None, None, None], s, _NEG_INF)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         m_safe = jnp.maximum(m_new, _NEG_INF / 2)
@@ -88,22 +92,32 @@ def ring_attention(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
+    kv_lens: Optional[jnp.ndarray] = None,  # [B] valid (unpadded) kv length
+    batch_axis: Optional[str] = None,  # mesh axis sharding the batch dim
 ) -> jnp.ndarray:
     """Sequence-parallel attention over ``mesh[axis]``.
 
-    Inputs/outputs are global arrays; shard_map slices the sequence dim.
-    S must divide the axis size.
+    Inputs/outputs are global arrays; shard_map slices the sequence dim
+    (and optionally the batch dim over ``batch_axis``). S must divide the
+    axis size. ``kv_lens`` masks padding keys like ops.attention's kv_lens.
     """
     d = q.shape[-1]
     scale_val = float(d ** -0.5) if scale is None else float(scale)
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
+    lens_spec = P(batch_axis)
     fn = functools.partial(
         _ring_attention_local,
         axis_name=axis,
         causal=causal,
         scale=scale_val,
     )
+    if kv_lens is None:
+        return jax.shard_map(
+            lambda qq, kk, vv: fn(qq, kk, vv, None),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )(q, k, v)
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False,
-    )(q, k, v)
+        fn, mesh=mesh, in_specs=(spec, spec, spec, lens_spec),
+        out_specs=spec, check_vma=False,
+    )(q, k, v, kv_lens)

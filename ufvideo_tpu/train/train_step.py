@@ -147,11 +147,14 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     loss_fn=language_model_loss_fn,
+    batch_spec: Optional[P] = None,
 ):
     """Build (init_fn, step_fn), both pjit'd over ``mesh``.
 
     Params/opt-state shardings come from the partition rules; the batch is
-    sharded over the combined data axes. Gradients are averaged across data
+    sharded over the combined data axes (override with ``batch_spec`` —
+    e.g. P('data') for sequence-parallel runs where the fsdp axis shards
+    the sequence instead of the batch). Gradients are averaged across data
     shards implicitly by XLA (the loss is a global mean).
     """
 
@@ -178,9 +181,14 @@ def make_train_step(
         sh = shardings_for(state, mesh, DEFAULT_RULES)
         return jax.tree.map(jax.device_put, state, sh)
 
-    batch_sharding = NamedSharding(mesh, BATCH_SPEC)
+    spec = BATCH_SPEC if batch_spec is None else batch_spec
+    batch_sharding = NamedSharding(mesh, spec)
     replicated = NamedSharding(mesh, P())
-    dp_size = mesh.shape["data"] * mesh.shape["fsdp"]
+    axes = spec[0] if spec else ()
+    axes = (axes,) if isinstance(axes, str) else tuple(axes or ())
+    dp_size = 1
+    for a in axes:
+        dp_size *= mesh.shape[a]
     step_inner = jax.jit(step, donate_argnums=(0,))
 
     def step_jit(state, batch):
