@@ -33,7 +33,6 @@ def _kernel(qkv_ref, o_ref, *, num_heads, head_pad, tokens, scale, bw):
     win_r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // tokens
     win_c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // tokens
     same = win_r == win_c
-    outs = []
     for h in range(num_heads):
         q = x[:, h * head_pad : (h + 1) * head_pad]
         k = x[:, (num_heads + h) * head_pad : (num_heads + h + 1) * head_pad]
@@ -46,11 +45,11 @@ def _kernel(qkv_ref, o_ref, *, num_heads, head_pad, tokens, scale, bw):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(
-            jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        # store per head — no concat list holding all heads live in VMEM
+        o_ref[:, :, h * head_pad : (h + 1) * head_pad] = (
+            o.astype(o_ref.dtype).reshape(bw, tokens, head_pad)
         )
-    o = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-    o_ref[:] = o.reshape(bw, tokens, num_heads * head_pad)
 
 
 def _reference(qkv, num_heads, head_pad, scale):
@@ -67,10 +66,23 @@ def _reference(qkv, num_heads, head_pad, scale):
     return o.reshape(nw, s, num_heads * head_pad)
 
 
-def _pick_bw(num_windows: int, tokens: int) -> int:
+def _pick_bw(num_windows: int, tokens: int, lanes: int) -> int:
+    """Windows per grid step: ~512 rows per score matrix, capped so the
+    double-buffered qkv+out blocks + the score matrix stay well under the
+    ~16 MB VMEM budget."""
     target = max(1, 512 // tokens)
     bw = 1
-    while bw * 2 <= target and num_windows % (bw * 2) == 0:
+
+    def vmem_bytes(b):
+        rows = b * tokens
+        blocks = 2 * rows * (lanes + lanes // 3) * 2  # qkv+out, 2x buffered
+        return blocks + rows * rows * 4
+
+    while (
+        bw * 2 <= target
+        and num_windows % (bw * 2) == 0
+        and vmem_bytes(bw * 2) < 10 * 2 ** 20
+    ):
         bw *= 2
     return bw
 
@@ -94,7 +106,7 @@ def _forward(qkv, num_heads, head_dim, head_pad, interpret):
     scale = head_dim ** -0.5
     if not interpret and jax.default_backend() != "tpu":
         return _reference(qkv, num_heads, head_pad, scale)
-    bw = _pick_bw(nw, s)
+    bw = _pick_bw(nw, s, c)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, head_pad=head_pad, tokens=s,
         scale=scale, bw=bw,
