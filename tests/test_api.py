@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded by -m 'not slow'
+
 from ufvideo_tpu.api import mm_infer, model_init
 from ufvideo_tpu.configs import tiny_config
 

@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded by -m 'not slow'
+
 from ufvideo_tpu import rle
 from ufvideo_tpu.api import model_init
 from ufvideo_tpu.configs import tiny_config

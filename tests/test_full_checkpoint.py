@@ -5,6 +5,8 @@ convert_full_checkpoint into a working composite model."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded by -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 import jax

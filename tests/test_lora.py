@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded by -m 'not slow'
+
 from ufvideo_tpu.configs import Qwen2Config, tiny_config
 from ufvideo_tpu.constants import IGNORE_INDEX, VIDEO_TOKEN_INDEX
 from ufvideo_tpu.models.qwen2 import Qwen2LM

@@ -7,6 +7,8 @@ import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded by -m 'not slow'
 from PIL import Image
 
 from ufvideo_tpu import rle

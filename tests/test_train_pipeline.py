@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded by -m 'not slow'
+
 from ufvideo_tpu.configs import tiny_config
 from ufvideo_tpu.constants import IGNORE_INDEX
 from ufvideo_tpu.models.sam2 import SAM2
