@@ -80,7 +80,10 @@ class MultiScaleAttention(nn.Module):
 
         scale = hd ** -0.5
         tokens = h * w
-        if self.q_stride is None and tokens < 128 and hp % 128 == 0:
+        # fused kernel for every windowed block (window sizes here are
+        # 16-256 tokens); global blocks (4096 tokens) would need an online
+        # softmax — they ride the flash kernel below instead
+        if self.q_stride is None and tokens <= 512 and hp % 128 == 0:
             # windowed block: fused kernel, heads never split in HBM
             o = fused_window_attention(qkv, self.num_heads, hd, hp)
         else:
