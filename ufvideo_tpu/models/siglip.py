@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import SiglipVisionConfig
-from ..ops.attention import attention
+from ..ops.attention import attention  # noqa: F401 (re-export for callers)
+from ..ops.vit_attention import mha_full_attention
 
 
 class SiglipAttention(nn.Module):
@@ -39,11 +40,13 @@ class SiglipAttention(nn.Module):
             cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
             name=name,
         )
-        q = dense("q_proj")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = dense("k_proj")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        v = dense("v_proj")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        o = attention(q, k, v)
-        return dense("out_proj")(o.reshape(b, s, cfg.hidden_size))
+        q = dense("q_proj")(x)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+        # heads stay fused in HBM ([B, S, H*D] is lane-aligned at 1152);
+        # the kernel splits them in VMEM — see ops/vit_attention.py
+        o = mha_full_attention(q, k, v, cfg.num_heads, cfg.head_dim)
+        return dense("out_proj")(o)
 
 
 class SiglipMLP(nn.Module):
