@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..configs import SiglipVisionConfig
 from ..ops.attention import attention  # noqa: F401 (re-export for callers)
-from ..ops.vit_attention import mha_full_attention
+from ..ops.vit_attention import mha_full_attention_packed
 
 
 class SiglipAttention(nn.Module):
@@ -31,22 +31,20 @@ class SiglipAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # note: a fused qkv projection was measured 13% SLOWER here (the
-        # 3-way split after the wide matmul costs more than it saves at this
-        # width); separate projections keep XLA's preferred layouts
+        # one fused qkv matmul: faster than three separate 1152x1152 ones
+        # (one pass over the activations) and, unlike round-1's fused
+        # attempt, nothing ever splits it back in HBM — the Pallas kernel
+        # consumes the packed [B, S, 3*H*D] buffer and slices lanes in VMEM
         cfg = self.cfg
-        b, s, _ = x.shape
-        dense = lambda name: nn.Dense(
+        qkv = nn.Dense(
+            3 * cfg.hidden_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="qkv_proj",
+        )(x)
+        o = mha_full_attention_packed(qkv, cfg.num_heads, cfg.head_dim)
+        return nn.Dense(
             cfg.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
-            name=name,
-        )
-        q = dense("q_proj")(x)
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
-        # heads stay fused in HBM ([B, S, H*D] is lane-aligned at 1152);
-        # the kernel splits them in VMEM — see ops/vit_attention.py
-        o = mha_full_attention(q, k, v, cfg.num_heads, cfg.head_dim)
-        return dense("out_proj")(o)
+            name="out_proj",
+        )(o)
 
 
 class SiglipMLP(nn.Module):

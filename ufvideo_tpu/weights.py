@@ -83,9 +83,22 @@ def convert_siglip(sd: Mapping, cfg: SiglipVisionConfig) -> Dict[str, Any]:
             "layer_norm1": _layernorm(sd, f"{lp}.layer_norm1"),
             "layer_norm2": _layernorm(sd, f"{lp}.layer_norm2"),
             "self_attn": {
-                "q_proj": _linear(sd, f"{lp}.self_attn.q_proj"),
-                "k_proj": _linear(sd, f"{lp}.self_attn.k_proj"),
-                "v_proj": _linear(sd, f"{lp}.self_attn.v_proj"),
+                # q/k/v packed into one fused projection (models/siglip.py)
+                "qkv_proj": {
+                    "kernel": np.concatenate(
+                        [
+                            _np(sd[f"{lp}.self_attn.{n}.weight"]).T
+                            for n in ("q_proj", "k_proj", "v_proj")
+                        ],
+                        axis=1,
+                    ),
+                    "bias": np.concatenate(
+                        [
+                            _np(sd[f"{lp}.self_attn.{n}.bias"])
+                            for n in ("q_proj", "k_proj", "v_proj")
+                        ]
+                    ),
+                },
                 "out_proj": _linear(sd, f"{lp}.self_attn.out_proj"),
             },
             "mlp": {
