@@ -146,9 +146,11 @@ class SAM2HieraConfig:
     mlp_ratio: float = 4.0
     image_size: int = 1024
     # TPU layout: lanes per head in the qkv/proj params (zero-padded from
-    # head_dim=72 by the converter; 0 = native). Keeps the head-split
-    # reshape 128-aligned — see models/sam2/hiera.py MultiScaleAttention.
-    head_pad: int = 128
+    # head_dim=72 by the converter; 0 = native). Round-1 padded to 128 to
+    # keep head splits lane-aligned, but the window/ViT kernels slice
+    # 72-lane heads in VMEM for free and the padding inflates qkv/proj
+    # matmul FLOPs by 78% — native is faster end-to-end (PERF.md).
+    head_pad: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,13 +1,29 @@
-"""Hiera image-encoder trunk + FPN neck, TPU-native NHWC.
+"""Hiera image-encoder trunk + FPN neck, TPU-native.
 
-Re-implements the reference's Hiera-L trunk (reference: sam2.py:1134-1258),
-windowed MultiScaleAttention/Block (:1000-1130), patch embed (:954-985),
-window partition/unpartition (:905-950), and FpnNeck (:815-905).
+Re-implements the behavior of the reference's Hiera-L trunk (reference:
+sam2.py:1134-1258), windowed MultiScaleAttention/Block (:1000-1130), patch
+embed (:954-985), window partition/unpartition (:905-950), and FpnNeck
+(:815-905).
+
+Layout design (the round-2 performance rewrite): the reference — and the
+round-1 port — carries activations as 4D NHWC maps and window-partitions
+around every attention. On TPU that is doubly hostile: XLA assigns
+convolution-style layouts to dot_generals over 4D NHWC operands (measured:
+stage-3 MLP matmuls ran at ~59 TF/s with `{2,3,1,0}` W-minor layouts and a
+conv emitter), and the per-block partition/unpartition transposes cost
+~56 ms of a 318 ms 8-frame encode. Here the trunk instead runs on 3D token
+arrays in **window-major order** ([B*nW, ws*ws, C]): every Dense/LN is a
+clean 2D matmul, the fused window-attention kernel consumes the layout
+directly with zero per-block copies, and global attention — which is
+permutation-invariant over tokens — rides the same layout via a free
+reshape to [B, T, C]. Spatial layout is materialized only where geometry
+matters: q-pooling boundaries (4 blocks) and the per-stage FPN outputs.
 
 Static-shape notes: at image_size 1024 the stage token grids are 256/128/64/32
-and every window size divides its grid, so window partition is pure reshape —
-no dynamic padding. The interpolated background pos-embed is precomputed at
-init for the static grid.
+and every window size divides its grid, so window partition is pure
+reshape+transpose with no padding. Padding is still supported for windowed
+blocks (zero-pad tokens participate in window softmax exactly as the
+reference's F.pad does); global blocks require an unpadded grid.
 """
 
 from __future__ import annotations
@@ -24,8 +40,8 @@ from ...ops.window_attention import fused_window_attention
 from .common import position_embedding_sine
 
 
-def window_partition(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
-    """[B, H, W, C] → [B*nW, ws, ws, C] with zero padding to multiples."""
+def to_windows(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """[B, H, W, C] → ([B*nW, ws*ws, C] window-major tokens, (Hp, Wp))."""
     b, h, w, c = x.shape
     pad_h = (ws - h % ws) % ws
     pad_w = (ws - w % ws) % ws
@@ -33,74 +49,87 @@ def window_partition(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, i
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     hp, wp = h + pad_h, w + pad_w
     x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
     return x, (hp, wp)
 
 
-def window_unpartition(
-    windows: jnp.ndarray, ws: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+def from_windows(
+    tokens: jnp.ndarray, ws: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
 ) -> jnp.ndarray:
+    """[B*nW, ws*ws, C] window-major tokens → [B, H, W, C] (crops padding)."""
     hp, wp = pad_hw
     h, w = hw
-    b = windows.shape[0] // (hp * wp // ws // ws)
-    x = windows.reshape(b, hp // ws, wp // ws, ws, ws, -1)
+    b = tokens.shape[0] // (hp * wp // ws // ws)
+    x = tokens.reshape(b, hp // ws, wp // ws, ws, ws, -1)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
     return x[:, :h, :w]
 
 
 class MultiScaleAttention(nn.Module):
-    """Windowed attention with optional q max-pooling (sam2.py:1000-1046).
+    """Windowed/global attention with optional q max-pooling
+    (sam2.py:1000-1046), on window-major tokens.
 
-    ``head_pad``: TPU layout optimization — each head occupies ``head_pad``
-    lanes in the qkv/proj parameters (zero-padded columns/rows written by
-    the converter), so the head-split reshape is 128-lane-aligned and never
-    forces a padded relayout of the activations in HBM. The softmax scale
+    ``window_side``: tokens-per-window side (S == side²); 0 = global block
+    (input is [B, T, C]). ``head_pad``: TPU layout optimization — each head
+    occupies ``head_pad`` lanes in the qkv/proj parameters (zero-padded
+    columns/rows written by the converter), so head slicing is 128-lane-
+    aligned and never forces a padded relayout in HBM. The softmax scale
     stays ``real_head_dim**-0.5`` and zero pads contribute nothing, so the
-    math is exact. Measured: the unaligned d=72 head split costs ~40% of
-    the whole Hiera-L encode at 1024² (PERF.md).
+    math is exact.
     """
 
     dim_out: int
     num_heads: int
+    window_side: int = 0  # 0 = global
     q_stride: Optional[Tuple[int, int]] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     head_pad: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, H, W, C]
-        b, h, w, _ = x.shape
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [N, S, C]
+        n, s, _ = x.shape
         hd = self.dim_out // self.num_heads
         hp = self.head_pad or hd
         assert hp >= hd, (hp, hd)
+        scale = hd ** -0.5
         qkv = nn.Dense(
             3 * self.num_heads * hp, dtype=self.dtype,
             param_dtype=self.param_dtype, name="qkv",
-        )(x.reshape(b, h * w, -1))
+        )(x)  # [N, S, 3*H*hp] — the fused kernel's native layout
 
-        scale = hd ** -0.5
-        tokens = h * w
-        # fused kernel for every windowed block (window sizes here are
-        # 16-256 tokens); global blocks (4096 tokens) would need an online
-        # softmax — they ride the flash kernel below instead
-        if self.q_stride is None and tokens <= 512 and hp % 128 == 0:
+        if self.q_stride is not None:
+            # q pooled within each window (sam2.py:1021-1033); window sides
+            # always divide by the stride in supported configs
+            sy, sx = self.q_stride
+            ws = self.window_side
+            assert ws % sy == 0 and ws % sx == 0, (ws, self.q_stride)
+            hw = self.num_heads * hp
+            q = qkv[..., :hw].reshape(n, ws, ws, hw)
+            q = nn.max_pool(q, window_shape=(sy, sx), strides=(sy, sx))
+            sq = (ws // sy) * (ws // sx)
+            q = q.reshape(n, sq, self.num_heads, hp)
+            k = qkv[..., hw : 2 * hw].reshape(n, s, self.num_heads, hp)
+            v = qkv[..., 2 * hw :].reshape(n, s, self.num_heads, hp)
+            o = window_dense_attention(q, k, v, scale=scale)
+            o = o.reshape(n, sq, self.num_heads * hp)
+        elif self.window_side == 0:
+            # global block: tokens in any consistent order; flash kernel
+            parts = qkv.reshape(n, s, 3, self.num_heads, hp)
+            o = attention(
+                parts[:, :, 0], parts[:, :, 1], parts[:, :, 2], scale=scale
+            )
+            o = o.reshape(n, s, self.num_heads * hp)
+        elif s <= 512:
             # windowed block: fused kernel, heads never split in HBM
+            # (72-lane head slices cost VMEM shuffles, not HBM relayouts)
             o = fused_window_attention(qkv, self.num_heads, hd, hp)
         else:
-            qkv = qkv.reshape(b, tokens, 3, self.num_heads, hp)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            if self.q_stride is not None:
-                sy, sx = self.q_stride
-                q = q.reshape(b, h, w, self.num_heads * hp)
-                q = nn.max_pool(q, window_shape=(sy, sx), strides=(sy, sx))
-                h, w = q.shape[1], q.shape[2]
-                q = q.reshape(b, h * w, self.num_heads, hp)
-            if q.shape[1] >= 128:
-                # global blocks ride the flash kernel
-                o = attention(q, k, v, scale=scale)
-            else:
-                o = window_dense_attention(q, k, v, scale=scale)
-        o = o.reshape(b, h, w, self.num_heads * hp)
+            parts = qkv.reshape(n, s, 3, self.num_heads, hp)
+            o = window_dense_attention(
+                parts[:, :, 0], parts[:, :, 1], parts[:, :, 2], scale=scale
+            )
+            o = o.reshape(n, s, self.num_heads * hp)
         return nn.Dense(
             self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,
             name="proj",
@@ -109,20 +138,20 @@ class MultiScaleAttention(nn.Module):
 
 class MultiScaleBlock(nn.Module):
     """Hiera block: LN → (windowed) attention (+q-pool) → residual → MLP
-    (sam2.py:1049-1131)."""
+    (sam2.py:1049-1131), entirely on window-major tokens."""
 
     dim: int
     dim_out: int
     num_heads: int
     mlp_ratio: float = 4.0
     q_stride: Optional[Tuple[int, int]] = None
-    window_size: int = 0
+    window_side: int = 0  # 0 = global
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     head_pad: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [N, S, C]
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
             name=name,
@@ -136,33 +165,20 @@ class MultiScaleBlock(nn.Module):
                 name="proj",
             )(xn)
             if self.q_stride is not None:
+                sy, sx = self.q_stride
+                ws = self.window_side
+                n = proj.shape[0]
+                proj = proj.reshape(n, ws, ws, self.dim_out)
                 proj = nn.max_pool(
-                    proj, window_shape=self.q_stride, strides=self.q_stride
+                    proj, window_shape=(sy, sx), strides=(sy, sx)
                 )
+                proj = proj.reshape(n, (ws // sy) * (ws // sx), self.dim_out)
             shortcut = proj
 
-        h, w = xn.shape[1], xn.shape[2]
-        ws = self.window_size
-        pad_hw = (h, w)
-        att_in = xn
-        if ws > 0:
-            att_in, pad_hw = window_partition(xn, ws)
-
         att = MultiScaleAttention(
-            self.dim_out, self.num_heads, self.q_stride,
+            self.dim_out, self.num_heads, self.window_side, self.q_stride,
             self.dtype, self.param_dtype, self.head_pad, name="attn",
-        )(att_in)
-
-        if self.q_stride is not None:
-            # q pooling shrank spatial dims (sam2.py:1113-1120)
-            ws = ws // self.q_stride[0] if ws > 0 else 0
-            h, w = shortcut.shape[1], shortcut.shape[2]
-            if self.window_size > 0:
-                pad_h = (ws - h % ws) % ws
-                pad_w = (ws - w % ws) % ws
-                pad_hw = (h + pad_h, w + pad_w)
-        if self.window_size > 0:
-            att = window_unpartition(att, ws, pad_hw, (h, w))
+        )(xn)
 
         x = shortcut + att
         xn = ln("norm2")(x).astype(self.dtype)
@@ -229,6 +245,12 @@ class Hiera(nn.Module):
 
         outputs: List[jnp.ndarray] = []
         embed_dim, num_heads, cur_stage = cfg.embed_dim, cfg.num_heads, 1
+        # token layout state: ``tokens`` is [B*nW, side², C] window-major
+        # (None = only spatial ``x`` is current); ``pad_hw`` tracks window
+        # padding of the layout
+        tokens: Optional[jnp.ndarray] = None
+        side = 0
+        pad_hw = (h, w)
         for i in range(depth):
             dim_out = embed_dim
             window_size = cfg.window_spec[cur_stage - 1]
@@ -238,20 +260,54 @@ class Hiera(nn.Module):
                 dim_out = int(embed_dim * cfg.dim_mul)
                 num_heads = int(num_heads * cfg.head_mul)
                 cur_stage += 1
-            x = MultiScaleBlock(
+
+            pool = cfg.q_stride if i in q_pool_blocks else None
+            if window_size > 0 and side != window_size:
+                # relayout to this block's window side (stage entries and
+                # post-pool rewindows only — same-side blocks are free)
+                if tokens is not None:
+                    x = from_windows(tokens, side, pad_hw, (h, w))
+                tokens, pad_hw = to_windows(x, window_size)
+                side = window_size
+            elif window_size == 0:
+                if tokens is None:
+                    tokens, pad_hw = to_windows(x, 1)
+                    side = 1
+                assert pad_hw == (h, w), (
+                    "global attention requires an unpadded token grid"
+                )
+
+            blk_in = tokens
+            if window_size == 0:
+                # permutation-invariant: window-major order is fine; the
+                # [B*nW, s², C] → [B, T, C] reshape is free
+                blk_in = tokens.reshape(b, h * w, -1)
+
+            out = MultiScaleBlock(
                 dim=embed_dim,
                 dim_out=dim_out,
                 num_heads=num_heads,
                 mlp_ratio=cfg.mlp_ratio,
-                q_stride=cfg.q_stride if i in q_pool_blocks else None,
-                window_size=window_size,
+                q_stride=pool,
+                window_side=side if window_size > 0 else 0,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 head_pad=cfg.head_pad,
                 name=f"blocks_{i}",
-            )(x)
+            )(blk_in)
+
+            if window_size == 0:
+                tokens = out.reshape(tokens.shape[0], side * side, -1)
+            else:
+                tokens = out
+            if pool is not None:
+                h, w = h // pool[0], w // pool[1]
+                pad_hw = (pad_hw[0] // pool[0], pad_hw[1] // pool[1])
+                side = max(side // pool[0], 1)
             embed_dim = dim_out
+
             if i in stage_ends:
+                x = from_windows(tokens, side, pad_hw, (h, w))
                 outputs.append(x)
         return outputs  # low→high channel count (finest→coarsest spatial)
 

@@ -22,34 +22,54 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _kernel(qkv_ref, o_ref, *, num_heads, head_pad, tokens, scale, bw):
-    rows = bw * tokens
-    x = qkv_ref[:].reshape(rows, 3 * num_heads * head_pad)
-    # block-diagonal mask: rows/cols from different windows never attend
-    win_r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // tokens
-    win_c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // tokens
-    same = win_r == win_c
-    for h in range(num_heads):
-        q = x[:, h * head_pad : (h + 1) * head_pad]
-        k = x[:, (num_heads + h) * head_pad : (num_heads + h + 1) * head_pad]
-        v = x[:, (2 * num_heads + h) * head_pad : (2 * num_heads + h + 1) * head_pad]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(same, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
-        # store per head — no concat list holding all heads live in VMEM
-        o_ref[:, :, h * head_pad : (h + 1) * head_pad] = (
-            o.astype(o_ref.dtype).reshape(bw, tokens, head_pad)
+def _kernel(qkv_ref, o_ref, *, num_heads, head_pad, tokens, scale, bw, gw):
+    # Windows are processed in row GROUPS of gw windows (gw*tokens rows,
+    # chosen ~128-256): the block-diagonal score matmul wastes gw x the real
+    # FLOPs, so small groups keep the waste bounded, while looping several
+    # groups (and heads) inside one grid step keeps the grid coarse enough
+    # that step pipeline latency never dominates. (Round-1 used one
+    # 512-row group per step: 4-32x score-FLOP waste on 16-64-token
+    # windows — measured as the dominant Hiera stage-1/2 cost.)
+    rows = gw * tokens
+    log2e = 1.4426950408889634
+    if gw > 1:
+        win_r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // tokens
+        win_c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // tokens
+        same = win_r == win_c
+    for g in range(bw // gw):
+        x = qkv_ref[g * gw : (g + 1) * gw].reshape(
+            rows, 3 * num_heads * head_pad
         )
+        for h in range(num_heads):
+            q = (
+                x[:, h * head_pad : (h + 1) * head_pad].astype(jnp.float32)
+                * (scale * log2e)
+            ).astype(x.dtype)
+            k = x[:, (num_heads + h) * head_pad : (num_heads + h + 1) * head_pad]
+            v = x[
+                :, (2 * num_heads + h) * head_pad : (2 * num_heads + h + 1) * head_pad
+            ]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if gw > 1:
+                s = jnp.where(same, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(
+                p.astype(x.dtype), v, preferred_element_type=jnp.float32
+            ) / denom
+            # store per head — no concat list holding all heads live in VMEM
+            o_ref[
+                g * gw : (g + 1) * gw, :, h * head_pad : (h + 1) * head_pad
+            ] = o.astype(o_ref.dtype).reshape(gw, tokens, head_pad)
 
 
 def _reference(qkv, num_heads, head_pad, scale):
@@ -66,25 +86,29 @@ def _reference(qkv, num_heads, head_pad, scale):
     return o.reshape(nw, s, num_heads * head_pad)
 
 
-def _pick_bw(num_windows: int, tokens: int, lanes: int) -> int:
-    """Windows per grid step: ~512 rows per score matrix, capped so the
-    double-buffered qkv+out blocks + the score matrix stay well under the
-    ~16 MB VMEM budget."""
-    target = max(1, 512 // tokens)
-    bw = 1
+def _pick_bw(num_windows: int, tokens: int, lanes: int, num_heads: int):
+    """Pick (bw, gw): gw windows per masked score group (~128 rows — bounds
+    the block-diagonal FLOP waste), bw windows per grid step (~1024 rows —
+    amortizes grid pipeline latency), within VMEM and unroll budgets."""
+    gw = max(1, 128 // tokens)
+    while num_windows % gw != 0:  # degenerate window counts
+        gw //= 2
+    group_rows = gw * tokens
 
     def vmem_bytes(b):
         rows = b * tokens
         blocks = 2 * rows * (lanes + lanes // 3) * 2  # qkv+out, 2x buffered
-        return blocks + rows * rows * 4
+        return blocks + 3 * group_rows * group_rows * 4
 
+    bw = gw
     while (
-        bw * 2 <= target
+        bw * 2 * tokens <= 4096
         and num_windows % (bw * 2) == 0
-        and vmem_bytes(bw * 2) < 10 * 2 ** 20
+        and (bw * 2 // gw) * num_heads <= 64  # unrolled dots per step
+        and vmem_bytes(bw * 2) < 24 * 2 ** 20
     ):
         bw *= 2
-    return bw
+    return bw, gw
 
 
 @functools.partial(
@@ -106,10 +130,10 @@ def _forward(qkv, num_heads, head_dim, head_pad, interpret):
     scale = head_dim ** -0.5
     if not interpret and jax.default_backend() != "tpu":
         return _reference(qkv, num_heads, head_pad, scale)
-    bw = _pick_bw(nw, s, c)
+    bw, gw = _pick_bw(nw, s, c, num_heads)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, head_pad=head_pad, tokens=s,
-        scale=scale, bw=bw,
+        scale=scale, bw=bw, gw=gw,
     )
     return pl.pallas_call(
         kernel,
@@ -120,6 +144,9 @@ def _forward(qkv, num_heads, head_dim, head_pad, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct(
             (nw, s, num_heads * head_pad), qkv.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20
         ),
         interpret=interpret,
     )(qkv)
