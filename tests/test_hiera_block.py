@@ -1,0 +1,86 @@
+"""Fused Hiera block kernel vs XLA reference (interpret mode) and vs the
+unfused MultiScaleBlock module path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ufvideo_tpu.ops.hiera_block import _reference, fused_hiera_block
+
+
+def _params(key, c, heads, hp, mlp):
+    ks = jax.random.split(key, 6)
+    sd = c ** -0.5
+    return (
+        jnp.ones((c,)) + 0.1 * jax.random.normal(ks[0], (c,)),  # ln1 s
+        0.1 * jax.random.normal(ks[0], (c,)),  # ln1 b
+        sd * jax.random.normal(ks[1], (c, 3 * heads * hp)),
+        0.1 * jax.random.normal(ks[1], (3 * heads * hp,)),
+        sd * jax.random.normal(ks[2], (heads * hp, c)),
+        0.1 * jax.random.normal(ks[2], (c,)),
+        jnp.ones((c,)) + 0.1 * jax.random.normal(ks[3], (c,)),  # ln2 s
+        0.1 * jax.random.normal(ks[3], (c,)),  # ln2 b
+        sd * jax.random.normal(ks[4], (c, mlp)),
+        0.1 * jax.random.normal(ks[4], (mlp,)),
+        (mlp ** -0.5) * jax.random.normal(ks[5], (mlp, c)),
+        0.1 * jax.random.normal(ks[5], (c,)),
+    )
+
+
+@pytest.mark.parametrize(
+    "n,s,c,heads",
+    [
+        (8, 256, 576, 8),  # stage-3 shape (gw=1)
+        (16, 16, 288, 4),  # stage-2 shape (gw=8, block-diagonal mask)
+        (16, 64, 144, 2),  # stage-1 shape (gw=2)
+    ],
+)
+def test_kernel_matches_reference(n, s, c, heads):
+    hp = c // heads
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, s, c), jnp.float32)
+    params = _params(jax.random.PRNGKey(1), c, heads, hp, 4 * c)
+    got = fused_hiera_block(x, params, heads, hp, 0, interpret=True)
+    want = _reference(x, params, heads, hp, hp)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+    # errors come only from the kernel's bf16-prob softmax; on f32 inputs
+    # the probs stay f32 so the match should be tight
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_module_uses_fused_path_consistently():
+    """MultiScaleBlock's fused path (reference fallback on CPU) must match
+    the unfused module math on the same params."""
+    from ufvideo_tpu.models.sam2.hiera import MultiScaleBlock
+
+    fused = MultiScaleBlock(
+        dim=144, dim_out=144, num_heads=2, window_side=8,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    # window_side chosen so s != window_side**2 forces the unfused path
+    # on the same param shapes
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 144), jnp.float32)
+    params = fused.init(jax.random.PRNGKey(1), x)["params"]
+    out_fused = fused.apply({"params": params}, x)
+
+    # unfused: same module with the kernel gate off via padded token count
+    import ufvideo_tpu.models.sam2.hiera as H
+
+    orig = H.fused_hiera_block
+    H.fused_hiera_block = None  # any call would crash
+    try:
+        unfused = MultiScaleBlock(
+            dim=144, dim_out=144, num_heads=2, window_side=9,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )
+        out_unfused = unfused.apply({"params": params}, x)
+    finally:
+        H.fused_hiera_block = orig
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_unfused), atol=1e-5, rtol=1e-5
+    )

@@ -1,0 +1,70 @@
+"""Flax parameter-holder modules that reproduce the exact param trees of
+nn.Dense / nn.LayerNorm / an attention pair without computing anything —
+so whole-block fused Pallas kernels (ops/hiera_block.py) can consume raw
+weights while checkpoints stay bit-identical to the unfused module graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class DenseParams(nn.Module):
+    """Same tree as nn.Dense: kernel [in, out] (lecun_normal), bias [out]."""
+
+    in_dim: int
+    out_dim: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim), self.param_dtype,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.out_dim,), self.param_dtype
+        )
+        return k, b
+
+
+class LayerNormParams(nn.Module):
+    """Same tree as nn.LayerNorm: scale (ones), bias (zeros)."""
+
+    dim: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        s = self.param(
+            "scale", nn.initializers.ones, (self.dim,), self.param_dtype
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), self.param_dtype
+        )
+        return s, b
+
+
+class AttnPairParams(nn.Module):
+    """qkv + output-projection Dense pair under one scope (names are the
+    child module names used by the unfused attention module)."""
+
+    dim: int
+    qkv_out: int
+    proj_in: int
+    param_dtype: Any = jnp.float32
+    qkv_name: str = "qkv"
+    proj_name: str = "proj"
+
+    @nn.compact
+    def __call__(self):
+        kq, bq = DenseParams(
+            self.dim, self.qkv_out, self.param_dtype, name=self.qkv_name
+        )()
+        kp, bp = DenseParams(
+            self.proj_in, self.dim, self.param_dtype, name=self.proj_name
+        )()
+        return kq, bq, kp, bp

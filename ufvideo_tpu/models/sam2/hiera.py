@@ -36,6 +36,12 @@ import jax.numpy as jnp
 
 from ...configs import SAM2Config, SAM2HieraConfig
 from ...ops.attention import attention, window_dense_attention
+from ...ops.hiera_block import fused_hiera_block
+from ..param_holders import (
+    AttnPairParams as _AttnP,
+    DenseParams as _DenseP,
+    LayerNormParams as _LNP,
+)
 from ...ops.window_attention import fused_window_attention
 from .common import position_embedding_sine
 
@@ -152,6 +158,35 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [N, S, C]
+        hidden = int(self.dim_out * self.mlp_ratio)
+        if (
+            self.q_stride is None
+            and self.dim == self.dim_out
+            and 0 < self.window_side ** 2 <= 512
+            and x.shape[1] == self.window_side ** 2
+        ):
+            # whole-block fused kernel: one HBM round-trip for the
+            # activations, weights resident in VMEM (ops/hiera_block.py)
+            hd = self.dim_out // self.num_heads
+            hp = self.head_pad or hd
+            ln1_s, ln1_b = _LNP(self.dim, self.param_dtype, name="norm1")()
+            wq, bq, wp, bp = _AttnP(
+                self.dim, 3 * self.num_heads * hp, self.num_heads * hp,
+                self.param_dtype, name="attn",
+            )()
+            ln2_s, ln2_b = _LNP(self.dim, self.param_dtype, name="norm2")()
+            w1, b1 = _DenseP(
+                self.dim, hidden, self.param_dtype, name="mlp_layers_0"
+            )()
+            w2, b2 = _DenseP(
+                hidden, self.dim, self.param_dtype, name="mlp_layers_1"
+            )()
+            return fused_hiera_block(
+                x.astype(self.dtype),
+                (ln1_s, ln1_b, wq, bq, wp, bp, ln2_s, ln2_b, w1, b1, w2, b2),
+                self.num_heads, hd, self.head_pad,
+            )
+
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
             name=name,
@@ -182,7 +217,6 @@ class MultiScaleBlock(nn.Module):
 
         x = shortcut + att
         xn = ln("norm2")(x).astype(self.dtype)
-        hidden = int(self.dim_out * self.mlp_ratio)
         m = nn.Dense(
             hidden, dtype=self.dtype, param_dtype=self.param_dtype,
             name="mlp_layers_0",

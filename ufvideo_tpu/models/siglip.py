@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from ..configs import SiglipVisionConfig
 from ..ops.attention import attention  # noqa: F401 (re-export for callers)
+from ..ops.hiera_block import fused_hiera_block
 from ..ops.vit_attention import mha_full_attention_packed
+from .param_holders import AttnPairParams, LayerNormParams
 
 
 class SiglipAttention(nn.Module):
@@ -73,6 +75,35 @@ class SiglipEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _) -> tuple:
+        cfg = self.cfg
+        if self.ln_dtype == jnp.float32:
+            # whole-layer fused kernel (ops/hiera_block.py): one image =
+            # one 729-token "window"; LN1 → qkv → attention → proj → LN2 →
+            # MLP in a single Pallas call with weights resident in VMEM
+            ln1 = LayerNormParams(
+                cfg.hidden_size, self.param_dtype, name="layer_norm1"
+            )()
+            wq, bq, wp, bp = AttnPairParams(
+                cfg.hidden_size, 3 * cfg.hidden_size, cfg.hidden_size,
+                self.param_dtype, qkv_name="qkv_proj", proj_name="out_proj",
+                name="self_attn",
+            )()
+            ln2 = LayerNormParams(
+                cfg.hidden_size, self.param_dtype, name="layer_norm2"
+            )()
+            w1, b1, w2, b2 = AttnPairParams(
+                cfg.hidden_size, cfg.intermediate_size,
+                cfg.intermediate_size, self.param_dtype,
+                qkv_name="fc1", proj_name="fc2", name="mlp",
+            )()
+            out = fused_hiera_block(
+                x.astype(self.dtype),
+                (*ln1, wq, bq, wp, bp, *ln2, w1, b1, w2, b2),
+                cfg.num_heads, cfg.head_dim, 0,
+                act="gelu_tanh", eps=cfg.layer_norm_eps,
+            )
+            return out, None
+
         ln = lambda name: nn.LayerNorm(
             epsilon=self.cfg.layer_norm_eps, dtype=self.ln_dtype,
             param_dtype=self.param_dtype, name=name,

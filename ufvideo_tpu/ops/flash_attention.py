@@ -166,19 +166,26 @@ def flash_attention(
 
     # adaptive blocks: for short sequences one whole-sequence block both
     # minimizes padding and amortizes pipeline fill (many tiny grid steps on
-    # a (B, H, nq, nk) grid are latency-bound). For long sequences, big
-    # blocks (1024x2048, ~8.4 MB f32 scores under the raised VMEM limit)
-    # keep the step count low: the default 256x512 blocking turns Hiera's
-    # 4096-token global blocks into 8192 ~0.4us steps (~20 TF/s measured);
-    # 1024x2048 runs the same math at MXU rate.
+    # a (B, H, nq, nk) grid are latency-bound). For long NON-causal
+    # sequences, big blocks (1024x2048, ~8.4 MB f32 scores under the raised
+    # VMEM limit) keep the step count low: the default 256x512 blocking
+    # turns Hiera's 4096-token global blocks into 8192 ~0.4us steps
+    # (~20 TF/s measured); 1024x2048 runs the same math at MXU rate. Causal
+    # long sequences keep fine blocks — coarse blocks can't skip the masked
+    # upper triangle (a 2048-token prefill would compute ~2x the score
+    # FLOPs), and the causal prefill path is already compute-optimal.
     if sq <= 1024:
         block_q = _round_up(sq, 128)
-    else:
+    elif not causal:
         block_q = max(block_q, min(1024, _round_up(sq, 128)))
+    else:
+        block_q = min(block_q, _round_up(sq, 128))
     if skv <= 1024:
         block_kv = _round_up(skv, 128)
-    else:
+    elif not causal:
         block_kv = max(block_kv, min(2048, _round_up(skv, 128)))
+    else:
+        block_kv = min(block_kv, _round_up(skv, 128))
 
     # pad seq and head dims to hardware-friendly multiples; move to BHSD so
     # the last two block dims are (seq, head_dim) tiles

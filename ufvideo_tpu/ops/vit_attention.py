@@ -52,11 +52,14 @@ def _kernel(qkv_ref, o_ref, *, num_heads, head_dim, scale, bb):
                 preferred_element_type=jnp.float32,
             )
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
+            # exp2 on bf16 (2x VPU rate): the argument is max-subtracted so
+            # it lies in (-inf, 0] where bf16's relative precision (~2^-8)
+            # perturbs each prob by <0.4% — and the pv matmul consumes bf16
+            # anyway. The denominator accumulates in f32.
+            p = jnp.exp2((s - m).astype(row.dtype))
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
             # normalize the [S, D] output rather than the [S, S] probs
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(row.dtype), v,
-                        preferred_element_type=jnp.float32) / denom
+            o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
             o_ref[i, :, sl] = o.astype(o_ref.dtype)
 
 

@@ -61,10 +61,13 @@ def _kernel(qkv_ref, o_ref, *, num_heads, head_pad, tokens, scale, bw, gw):
             if gw > 1:
                 s = jnp.where(same, s, _NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
+            # exp2 at the input dtype (bf16 in the model: 2x VPU rate; the
+            # pv matmul consumed bf16 probs anyway, only the f32-accumulated
+            # denominator sees the rounding)
+            p = jnp.exp2((s - m).astype(x.dtype))
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
             o = jnp.dot(
-                p.astype(x.dtype), v, preferred_element_type=jnp.float32
+                p, v, preferred_element_type=jnp.float32
             ) / denom
             # store per head — no concat list holding all heads live in VMEM
             o_ref[
