@@ -84,3 +84,23 @@ def test_module_uses_fused_path_consistently():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_unfused), atol=1e-5, rtol=1e-5
     )
+
+
+from conftest import requires_tpu  # noqa: E402
+
+
+@requires_tpu
+def test_kernel_on_chip_bf16():
+    """Real-chip fused block vs XLA reference in bf16 (stage-3 shape)."""
+    hp = 576 // 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 256, 576), jnp.bfloat16)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        _params(jax.random.PRNGKey(1), 576, 8, hp, 4 * 576),
+    )
+    got = fused_hiera_block(x, params, 8, hp, 0)
+    want = _reference(x, params, 8, hp, hp)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.05,
+    )

@@ -108,6 +108,7 @@ def _kernel(
         jax.lax.dot_general(
             xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         + bqkv_ref[0, :]
     ).astype(dtype)
@@ -129,19 +130,24 @@ def _kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             if gw > 1:
                 s = jnp.where(same, s, _NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2((s - m).astype(dtype))
             denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-            o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+            o = jnp.dot(
+                p, v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) / denom
             att_ref[sl, h * hp : (h + 1) * hp] = o.astype(dtype)
 
     att = (
         jax.lax.dot_general(
             att_ref[...], wproj_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         + bproj_ref[0, :]
     ).astype(dtype)
@@ -154,6 +160,7 @@ def _kernel(
         jax.lax.dot_general(
             xm, w1_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         + b1_ref[0, :]
     )
@@ -164,6 +171,7 @@ def _kernel(
         jax.lax.dot_general(
             hmid, w2_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         + b2_ref[0, :]
     ).astype(dtype)
