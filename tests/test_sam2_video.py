@@ -210,3 +210,34 @@ def test_masks_to_video_res_shape():
     out = masks_to_video_res(masks, 77, 55)
     assert out.shape == (3, 2, 77, 55)
     assert out.dtype == bool
+
+
+def test_batched_multivideo_propagation_matches_loop():
+    """propagate_videos_batched(V videos) == per-video propagate_video."""
+    from ufvideo_tpu.models.sam2.video import propagate_videos_batched
+
+    model = SAM2(TINY, dtype=jnp.float32, param_dtype=jnp.float32)
+    img = TINY.hiera.image_size
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32)
+    )["params"]
+    v, t = 3, 4
+    frames = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (v * t, img, img, 3), jnp.float32
+    )
+    feats = encode_video_frames(model, params, frames, chunk=v * t)
+    embd = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), (v, 1, TINY.sam_embed_dim), jnp.float32
+    )
+
+    singles = []
+    for i in range(v):
+        f_i = jax.tree.map(lambda a: a[i * t : (i + 1) * t], feats)
+        singles.append(
+            np.asarray(propagate_video(model, params, f_i, embd[i][:, None]))
+        )
+    want = np.stack(singles, axis=1)[:, :, 0]  # [T, V, 1, h, w]
+
+    f_b = jax.tree.map(lambda a: a.reshape(v, t, *a.shape[1:]), feats)
+    got = np.asarray(propagate_videos_batched(model, params, f_b, embd))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

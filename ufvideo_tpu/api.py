@@ -135,14 +135,20 @@ class UFVideoRuntime:
             video_feats,
             region_feats,
         )
+        # length bucketing: the plan pads to the static max_seq_len budget;
+        # trim prefill + kv cache to the 256-rounded true length (a 2.7k
+        # PixRQA prompt in a 4096 budget otherwise wastes ~33% of prefill
+        # and decode-read time). Bucketing keeps recompiles bounded.
+        real_len = int(max(plan.seq_lens))
+        trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
         res = greedy_generate(
             self.model.llm,
             self.params["llm"],
-            embeds,
+            embeds[:, :trim],
             jnp.asarray(plan.seq_lens),
             max_new_tokens=max_new_tokens,
             stop_ids=(self.ids.eos,),
-            cache_max_len=cfg.budget.max_seq_len + max_new_tokens,
+            cache_max_len=trim + max_new_tokens,
             vocab_size=cfg.llm.vocab_size,
             do_sample=do_sample,
             temperature=temperature,

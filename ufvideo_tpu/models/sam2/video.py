@@ -83,7 +83,12 @@ def encode_video_frames(
 
 
 def _broadcast_obj(x: jnp.ndarray, b: int) -> jnp.ndarray:
-    """Share one frame's features across the object batch."""
+    """Share one frame's features across the object batch — or pass through
+    per-object features that already carry the batch dim (batched
+    multi-video propagation, where the video dim rides the object dim)."""
+    if x.ndim == 4:
+        assert x.shape[0] == b, (x.shape, b)
+        return x
     return jnp.broadcast_to(x[None], (b,) + x.shape)
 
 
@@ -255,6 +260,31 @@ def propagate_video(
     )
     _, masks_rest = jax.lax.scan(step, state, xs)
     return jnp.concatenate([mask0[None], masks_rest], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def propagate_videos_batched(
+    model: SAM2,
+    params,
+    feats: FrameFeatures,  # arrays laid out [V, T, ...]
+    language_embd: jnp.ndarray,  # [V, 1, C] — one object per video
+) -> jnp.ndarray:
+    """Propagate V independent videos in one scan.
+
+    The video dim rides the memory machinery's object-batch dim, so the
+    per-frame small ops (memory attention, SAM heads, memory encoder) see a
+    V-row batch instead of V separate latency-bound scans — measured 6%
+    matmul efficiency for the single-video scan at B=1 (PERF.md). For
+    multiple objects per video, repeat each video's features per object and
+    flatten (V*B, ...). Returns low-res mask logits [T, V, 1, h4, w4].
+    """
+    f = FrameFeatures(
+        jnp.moveaxis(feats.s0, 0, 1),
+        jnp.moveaxis(feats.s1, 0, 1),
+        jnp.moveaxis(feats.s2, 0, 1),
+        jnp.moveaxis(feats.pos2, 0, 1),
+    )
+    return propagate_video(model, params, f, language_embd)
 
 
 def sam_train_masks(
