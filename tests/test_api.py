@@ -77,3 +77,40 @@ def test_mm_infer_text_only(runtime):
         None, "hello", model, tokenizer, modal="text", max_new_tokens=2,
     )
     assert isinstance(text, str)
+
+
+def test_mm_infer_batch_matches_loop(runtime):
+    """mm_infer_batch == per-sample mm_infer on text + pred masks."""
+    from ufvideo_tpu.api import mm_infer_batch
+
+    model, _, tok = runtime
+    cfg = model.cfg
+    rng = np.random.RandomState(0)
+    t = cfg.budget.num_frames
+    img = cfg.vision.image_size
+    sam_img = cfg.sam.hiera.image_size
+    samples = []
+    for i in range(2):
+        samples.append({
+            "video": rng.randn(t, img, img, 3).astype(np.float32),
+            "instruct": f"What happens in scene {i}?",
+            "images_sam": rng.randn(3, sam_img, sam_img, 3).astype(np.float32),
+            "label_size": (32, 40),
+        })
+
+    batched = mm_infer_batch(
+        samples, model, tok, max_new_tokens=6,
+    )
+    for i, s in enumerate(samples):
+        text, out = mm_infer(
+            s["video"], s["instruct"], model, tok,
+            images_sam=s["images_sam"], label_size=s["label_size"],
+            max_new_tokens=6,
+        )
+        bt, bout = batched[i]
+        assert bt == text, (i, bt, text)
+        assert list(out["output"]) == list(bout["output"])
+        assert len(out["pred_masks"]) == len(bout["pred_masks"])
+        for a, b in zip(out["pred_masks"], bout["pred_masks"]):
+            assert a.shape == b.shape
+            assert (a == b).mean() > 0.99  # bf16-order-insensitive match

@@ -161,6 +161,69 @@ class UFVideoRuntime:
         hidden = res.hidden[0, :n]
         return tokens.tolist(), hidden, plan
 
+    def generate_batch(
+        self,
+        input_ids_list: Sequence[List[int]],
+        video_feats: Optional[jnp.ndarray],  # [B, V, D] or None
+        region_feats: Optional[jnp.ndarray] = None,  # [B, RT, D]
+        region_counts_list: Optional[Sequence[List[int]]] = None,
+        max_new_tokens: int = 128,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        stop_sequences: tuple = (),
+    ):
+        """Batched greedy decode over B samples (the serving configuration:
+        prefill/decode weight traffic amortizes across the batch — see
+        bench.py e2e_batch). Returns a list of (ids, hidden [N, hidden])
+        per sample, plus the shared splice plan."""
+        cfg = self.cfg
+        b = len(input_ids_list)
+        plan = plan_splice(
+            list(input_ids_list),
+            num_video_tokens=(
+                video_feats.shape[1] if video_feats is not None else 0
+            ),
+            region_token_counts=[
+                (region_counts_list[i] if region_counts_list else []) or []
+                for i in range(b)
+            ],
+            region_token_id=self.ids.region,
+            max_seq_len=cfg.budget.max_seq_len,
+            region_stride=cfg.region.region_token_num,
+        )
+        embeds = self._splice(
+            self.params,
+            jnp.asarray(plan.text_ids),
+            jnp.asarray(plan.src_kind),
+            jnp.asarray(plan.src_idx),
+            video_feats,
+            region_feats,
+        )
+        real_len = int(max(plan.seq_lens))
+        trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
+        res = greedy_generate(
+            self.model.llm,
+            self.params["llm"],
+            embeds[:, :trim],
+            jnp.asarray(plan.seq_lens),
+            max_new_tokens=max_new_tokens,
+            stop_ids=(self.ids.eos,),
+            cache_max_len=trim + max_new_tokens,
+            vocab_size=cfg.llm.vocab_size,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+            rng=jax.random.PRNGKey(seed),
+            stop_sequences=tuple(tuple(s) for s in stop_sequences),
+        )
+        out = []
+        for i in range(b):
+            n = int(res.gen_lens[i])
+            out.append((np.asarray(res.tokens[i, :n]).tolist(), res.hidden[i, :n]))
+        return out, plan
+
     def forward_hidden_states(self, plan, video_feats, region_feats=None):
         embeds = self._splice(
             self.params,
@@ -201,6 +264,39 @@ class UFVideoRuntime:
             self.sam, self.params["sam"], feats, seg_embeddings[:, None, :]
         )
         masks = masks_to_video_res(low, out_height, out_width)
+        return np.asarray(masks).transpose(1, 0, 2, 3)
+
+    def segment_videos_batched(
+        self,
+        images_sam: np.ndarray,  # [V, T, 1024, 1024, 3] (or uint8 raw)
+        seg_embeddings: jnp.ndarray,  # [V, 256] — one [SEG] object per video
+        out_height: int,
+        out_width: int,
+    ) -> np.ndarray:
+        """V independent videos' [SEG] propagation in one scan (the videos
+        ride the object-batch dim — models/sam2/video.py
+        propagate_videos_batched). Returns [V, T, H, W] boolean masks."""
+        from .models.sam2.video import propagate_videos_batched
+
+        images_sam = np.asarray(images_sam)
+        v, t = images_sam.shape[:2]
+        flat = images_sam.reshape((v * t,) + images_sam.shape[2:])
+        if flat.dtype == np.uint8:
+            from .ops.image_pipeline import sam_preprocess_device
+
+            images = sam_preprocess_device(
+                jnp.asarray(flat), out_dtype=self.cfg.compute_dtype
+            )
+        else:
+            images = jnp.asarray(flat)
+        feats = encode_video_frames(self.sam, self.params["sam"], images)
+        vfeats = jax.tree.map(
+            lambda a: a.reshape((v, t) + a.shape[1:]), feats
+        )
+        low = propagate_videos_batched(
+            self.sam, self.params["sam"], vfeats, seg_embeddings[:, None, :]
+        )  # [T, V, 1, h4, w4]
+        masks = masks_to_video_res(low, out_height, out_width)  # [T, V, H, W]
         return np.asarray(masks).transpose(1, 0, 2, 3)
 
 
@@ -273,6 +369,33 @@ def model_init(
     return runtime, None, tokenizer
 
 
+def _assemble_input_ids(instruct, choice, modal_token, tokenizer):
+    """Prompt assembly with the reference's choice semantics
+    (ufvideo/__init__.py:70-104) → multimodal-tokenized ids."""
+    if choice in (1, 2):
+        if isinstance(instruct, str):
+            content = (
+                f"{modal_token}\n{instruct}" if choice == 1 else instruct
+            )
+            message = [{"role": "user", "content": content}]
+        else:
+            message = [dict(m) for m in instruct]
+            message[0]["content"] = f"{modal_token}\n" + message[0]["content"]
+    elif choice == 3:
+        roles = {"human": "user", "gpt": "assistant"}
+        message = [
+            {"role": roles.get(s["from"], s["from"]), "content": s["value"]}
+            for s in instruct
+        ]
+    else:
+        raise ValueError(f"unknown choice {choice}")
+
+    prompt = tokenizer.apply_chat_template(
+        message, tokenize=False, add_generation_prompt=True
+    )
+    return tokenizer_multimodal_token(prompt, tokenizer, modal_token)
+
+
 def mm_infer(
     image_or_video,
     instruct,
@@ -296,30 +419,9 @@ def mm_infer(
     modal_token = {
         "image": DEFAULT_IMAGE_TOKEN, "video": DEFAULT_VIDEO_TOKEN, "text": ""
     }[modal]
-
-    # 1. prompt assembly (choice semantics: __init__.py:70-104)
-    if choice in (1, 2):
-        if isinstance(instruct, str):
-            content = (
-                f"{modal_token}\n{instruct}" if choice == 1 else instruct
-            )
-            message = [{"role": "user", "content": content}]
-        else:
-            message = [dict(m) for m in instruct]
-            message[0]["content"] = f"{modal_token}\n" + message[0]["content"]
-    elif choice == 3:
-        roles = {"human": "user", "gpt": "assistant"}
-        message = [
-            {"role": roles.get(s["from"], s["from"]), "content": s["value"]}
-            for s in instruct
-        ]
-    else:
-        raise ValueError(f"unknown choice {choice}")
-
-    prompt = tokenizer.apply_chat_template(
-        message, tokenize=False, add_generation_prompt=True
+    input_ids = _assemble_input_ids(
+        instruct, choice, modal_token, tokenizer
     )
-    input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_token)
 
     # 2. vision encode (uint8 input → fused on-device resize+normalize,
     # 4x less host→device traffic)
@@ -425,3 +527,164 @@ def mm_infer(
         m = model.segment_video(np.asarray(images_sam), embeds, h, w)
         pred_masks = [m[i] for i in range(m.shape[0])]
     return {"output": None, "pred_masks": pred_masks, "gt_masks": masks}
+
+
+def mm_infer_batch(
+    samples: Sequence[Dict[str, Any]],
+    model: UFVideoRuntime,
+    tokenizer,
+    modal: str = "video",
+    choice: int = 1,
+    **kwargs,
+):
+    """Batched serving entry: run B independent samples through one
+    encode → splice → prefill+decode dispatch (and, for [SEG] outputs, one
+    batched SAM2 propagation). Single-chip throughput roughly doubles vs a
+    ``mm_infer`` loop at batch 8 (PERF.md e2e table) because the decode
+    loop's weight traffic — the dominant batch-1 cost — amortizes across
+    the batch.
+
+    Each sample is a dict: ``video`` ([T, H, W, 3] frames, same T for all
+    samples), ``instruct``, and optionally ``masks``/``ann_indices``/
+    ``frame`` (region prompts), ``images_sam`` ([Ts, 1024, 1024, 3], same Ts
+    across seg samples), ``label_size``. Beyond-reference addition: the
+    reference has no batched inference (eval drivers run bs=1,
+    inference_PixRQA.py:221); contract per sample matches ``mm_infer``
+    path A.
+
+    Returns a list of (output_text, out_dict) per sample.
+    """
+    cfg = model.cfg
+    modal_token = {
+        "image": DEFAULT_IMAGE_TOKEN, "video": DEFAULT_VIDEO_TOKEN, "text": ""
+    }[modal]
+    b = len(samples)
+
+    ids_list = [
+        _assemble_input_ids(s["instruct"], choice, modal_token, tokenizer)
+        for s in samples
+    ]
+    for ids in ids_list:
+        if model.ids.seg in ids:
+            raise NotImplementedError(
+                "mm_infer_batch covers path A (no [SEG] in the input); "
+                "use mm_infer for input-[SEG] seg evals"
+            )
+
+    # batched vision encode
+    video_feats = None
+    if modal != "text":
+        pixel_list = []
+        for s in samples:
+            pixels = np.asarray(s["video"])
+            if pixels.dtype == np.uint8:
+                from .ops.image_pipeline import siglip_preprocess_device
+
+                pixels = np.asarray(
+                    siglip_preprocess_device(
+                        jnp.asarray(pixels), out_dtype=cfg.compute_dtype
+                    )
+                )
+            if modal == "image":
+                pixels = np.broadcast_to(
+                    pixels[:1], (cfg.budget.num_frames,) + pixels.shape[1:]
+                )
+            pixel_list.append(pixels)
+        video_feats = model.encode_video(jnp.asarray(np.stack(pixel_list)))
+
+    # per-sample region tokens, padded to a common stream length
+    region_feats, region_counts_list = None, None
+    if any(s.get("frame") is not None for s in samples):
+        feats_list, counts_list = [], []
+        for s in samples:
+            if s.get("frame") is not None and s.get("masks") is not None:
+                f, c = model.pack_and_encode_regions(
+                    np.asarray(s["frame"]), np.asarray(s["masks"]),
+                    s.get("ann_indices"),
+                )
+                feats_list.append(np.asarray(f)[0])
+                counts_list.append(c)
+            else:
+                feats_list.append(None)
+                counts_list.append([])
+        rt_max = max((f.shape[0] for f in feats_list if f is not None), default=1)
+        d = next(f for f in feats_list if f is not None).shape[-1]
+        packed = np.zeros((b, rt_max, d), np.float32)
+        for i, f in enumerate(feats_list):
+            if f is not None:
+                packed[i, : f.shape[0]] = f
+        region_feats = jnp.asarray(packed, cfg.compute_dtype)
+        region_counts_list = counts_list
+
+    stop_sequences = tuple(
+        tuple(tokenizer(s, add_special_tokens=False).input_ids)
+        for s in (kwargs.get("stop_strings") or [])
+    )
+    do_sample = bool(kwargs.get("do_sample", False))
+    results = model.generate_batch(
+        ids_list, video_feats, region_feats, region_counts_list,
+        max_new_tokens=int(kwargs.get("max_new_tokens", 1024)),
+        do_sample=do_sample,
+        temperature=float(
+            kwargs.get("temperature", 0.2 if do_sample else 0.0) or 1.0
+        ),
+        top_p=float(kwargs.get("top_p", 0.9)),
+        stop_sequences=stop_sequences,
+    )[0]
+
+    # [SEG] extraction (path A semantics, one object per sample) — all seg
+    # samples propagate together in one scan
+    seg_rows, seg_embeds, seg_images = [], [], []
+    for i, (tokens, hidden) in enumerate(results):
+        steps = [j for j, t in enumerate(tokens) if t == model.ids.seg]
+        if steps and samples[i].get("images_sam") is not None:
+            if len(steps) > 1:
+                continue  # multi-object samples fall back below
+            seg_rows.append(i)
+            seg_embeds.append(
+                model._seg_embed(model.params, hidden[jnp.asarray(steps)])[0]
+            )
+            seg_images.append(np.asarray(samples[i]["images_sam"]))
+
+    masks_by_row: Dict[int, List[np.ndarray]] = {}
+    if seg_rows:
+        hw = [
+            tuple(
+                samples[i].get("label_size")
+                or (cfg.sam.hiera.image_size, cfg.sam.hiera.image_size)
+            )
+            for i in seg_rows
+        ]
+        if len(set(hw)) == 1 and len({im.shape for im in seg_images}) == 1:
+            m = model.segment_videos_batched(
+                np.stack(seg_images), jnp.stack(seg_embeds), *hw[0]
+            )
+            for r, i in enumerate(seg_rows):
+                masks_by_row[i] = [m[r]]
+        else:
+            for r, i in enumerate(seg_rows):
+                m = model.segment_video(
+                    seg_images[r], seg_embeds[r][None], *hw[r]
+                )
+                masks_by_row[i] = [m[0]]
+
+    out = []
+    for i, (tokens, hidden) in enumerate(results):
+        pred_masks = masks_by_row.get(i, [])
+        if not pred_masks:
+            # multi-[SEG] fallback: per-sample propagation (objects batch)
+            steps = [j for j, t in enumerate(tokens) if t == model.ids.seg]
+            if len(steps) > 1 and samples[i].get("images_sam") is not None:
+                embeds = model._seg_embed(
+                    model.params, hidden[jnp.asarray(steps)]
+                )
+                h, w = samples[i].get("label_size") or (
+                    cfg.sam.hiera.image_size, cfg.sam.hiera.image_size
+                )
+                m = model.segment_video(
+                    np.asarray(samples[i]["images_sam"]), embeds, h, w
+                )
+                pred_masks = [m[j] for j in range(m.shape[0])]
+        text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
+        out.append((text, {"output": tokens, "pred_masks": pred_masks}))
+    return out
