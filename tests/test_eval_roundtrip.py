@@ -257,3 +257,15 @@ def test_judge_description_with_stub_client(tmp_path):
     jd.cmd_analyze(argparse.Namespace(**{"in": str(extracted)}))
     rows = json.load(open(extracted))
     assert rows and rows[0]["Temporal Description"] == 5.0
+
+
+def test_mvbench_batched_matches_bs1(data, runtime, tmp_path, monkeypatch):
+    """--batch 2 produces the same records as the reference-style bs=1
+    loop (batched dispatch is a pure serving optimization)."""
+    _, ref = _drive("mvbench", "mcqa.json", data, runtime, tmp_path / "a",
+                    monkeypatch)
+    _, bat = _drive("mvbench", "mcqa.json", data, runtime, tmp_path / "b",
+                    monkeypatch, **{"--batch": "2"})
+    key = lambda r: r["id"]
+    for a, b in zip(sorted(ref, key=key), sorted(bat, key=key)):
+        assert a == b, (a, b)

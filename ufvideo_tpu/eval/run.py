@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from ..api import mm_infer, model_init
+from ..api import mm_infer, mm_infer_batch, model_init
 from .datasets import MCQABenchmark, SegReferBenchmark, TVGBenchmark
 from .metrics import match_mc_answer, parse_temporal_span
 from .util import JsonlWriter, get_chunk, get_rank_world, rank_output_path, save_mask_pngs
@@ -126,39 +126,25 @@ def run_benchmark(args, runtime=None) -> None:
     elif bench == "mvbench":
         ds = MCQABenchmark(args.video_folder, questions,
                            image_size=image_size, **frames_kw)
-        for i in range(len(ds)):
-            try:
-                s = ds[i]
-                text, _ = mm_infer(
-                    s["video"], s["question"], model, tokenizer,
-                    modal="video", max_new_tokens=args.max_new_tokens,
-                )
-                writer.write(
-                    {
-                        "id": s["id"],
-                        "pred": match_mc_answer(text, s["options"]),
-                        "gt": s["gt"],
-                        "task_type": s["task_type"],
-                        "raw": text,
-                    }
-                )
-            except Exception:
-                traceback.print_exc()
+        def emit_mcqa(s, text):
+            writer.write(
+                {
+                    "id": s["id"],
+                    "pred": match_mc_answer(text, s["options"]),
+                    "gt": s["gt"],
+                    "task_type": s["task_type"],
+                    "raw": text,
+                }
+            )
+        _qa_loop(ds, model, tokenizer, args, emit_mcqa)
     elif bench == "tvg":
         ds = TVGBenchmark(args.video_folder, questions,
                           image_size=image_size, **frames_kw)
-        for i in range(len(ds)):
-            try:
-                s = ds[i]
-                text, _ = mm_infer(
-                    s["video"], s["question"], model, tokenizer,
-                    modal="video", max_new_tokens=args.max_new_tokens,
-                )
-                writer.write(
-                    {"id": s["id"], "vid": s["vid"], "pred": text, "gt": s["gt"]}
-                )
-            except Exception:
-                traceback.print_exc()
+        def emit_tvg(s, text):
+            writer.write(
+                {"id": s["id"], "vid": s["vid"], "pred": text, "gt": s["gt"]}
+            )
+        _qa_loop(ds, model, tokenizer, args, emit_tvg)
     elif bench == "mevis":
         ds = SegReferBenchmark(args.video_folder, questions,
                                image_size=image_size,
@@ -182,6 +168,48 @@ def run_benchmark(args, runtime=None) -> None:
     writer.close()
 
 
+def _qa_loop(ds, model, tokenizer, args, emit):
+    """QA-style benchmark loop: batched through one prefill/decode dispatch
+    when --batch > 1 (beyond-reference serving path, api.mm_infer_batch —
+    decode weight traffic amortizes across samples), with per-sample
+    mm_infer fallback on any batch failure so one bad sample never drops
+    its batchmates (the reference's per-sample try/except contract)."""
+    bs = max(1, getattr(args, "batch", 1))
+    idx = 0
+    while idx < len(ds):
+        group = []
+        for i in range(idx, min(idx + bs, len(ds))):
+            try:
+                group.append(ds[i])
+            except Exception:
+                traceback.print_exc()
+        idx += bs
+        if not group:
+            continue
+        if bs > 1 and len(group) > 1:
+            try:
+                results = mm_infer_batch(
+                    [{"video": s["video"], "instruct": s["question"]}
+                     for s in group],
+                    model, tokenizer, modal="video",
+                    max_new_tokens=args.max_new_tokens,
+                )
+                for s, (text, _) in zip(group, results):
+                    emit(s, text)
+                continue
+            except Exception:
+                traceback.print_exc()  # fall through to per-sample
+        for s in group:
+            try:
+                text, _ = mm_infer(
+                    s["video"], s["question"], model, tokenizer,
+                    modal="video", max_new_tokens=args.max_new_tokens,
+                )
+                emit(s, text)
+            except Exception:
+                traceback.print_exc()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="UFVideo-TPU benchmark driver")
     p.add_argument("--benchmark", required=True,
@@ -201,6 +229,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-frames", type=int, default=0,
                    help="override the video frame budget (default NUM_FRAMES)")
     p.add_argument("--max-new-tokens", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=1,
+                   help="samples per batched dispatch for QA benchmarks "
+                        "(mvbench/tvg); 1 = reference-style bs=1 loop")
     return p
 
 
