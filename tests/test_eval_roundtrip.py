@@ -269,3 +269,30 @@ def test_mvbench_batched_matches_bs1(data, runtime, tmp_path, monkeypatch):
     key = lambda r: r["id"]
     for a, b in zip(sorted(ref, key=key), sorted(bat, key=key)):
         assert a == b, (a, b)
+
+
+def test_pixrqa_batched_matches_bs1(data, runtime, tmp_path, monkeypatch):
+    """Seg/refer --batch 2 (regions + path-A masks) matches the bs=1 loop."""
+    out_a, ref = _drive("pixrqa", "seg.json", data, runtime, tmp_path / "a",
+                        monkeypatch)
+    out_b, bat = _drive("pixrqa", "seg.json", data, runtime, tmp_path / "b",
+                        monkeypatch, **{"--batch": "2"})
+    key = lambda r: r["id"]
+    ref, bat = sorted(ref, key=key), sorted(bat, key=key)
+    for a, b in zip(ref, bat):
+        assert a == b, (a, b)
+    # whatever mask dumps the bs=1 run produced (the tiny random model may
+    # never emit [SEG] in 4 tokens), the batched run must mirror them
+    import cv2
+
+    ra = os.path.splitext(out_a)[0] + "_masks"
+    rb = os.path.splitext(out_b)[0] + "_masks"
+    la = sorted(os.listdir(ra)) if os.path.isdir(ra) else []
+    lb = sorted(os.listdir(rb)) if os.path.isdir(rb) else []
+    assert la == lb, (la, lb)
+    for vid in la:
+        for png in sorted(os.listdir(os.path.join(ra, vid))):
+            ma = cv2.imread(os.path.join(ra, vid, png), 0)
+            mb = cv2.imread(os.path.join(rb, vid, png), 0)
+            assert ma is not None and mb is not None
+            assert (ma == mb).mean() > 0.99

@@ -39,12 +39,17 @@ VIDEOREFER_D_QUESTION = (
 )
 
 
-def _seg_refer_step(model, tokenizer, sample, args, choice=2, question=None):
+def _seg_refer_question(sample, args, question=None):
     q = question or sample["line"]["conversations"][0][0]["value"]
     if args.benchmark == "videorefer_q":
         # Q-bench wraps region tokens in brackets
         # (reference: inference_videorefer_q_bench.py:91)
         q = q.replace("<region>", "[<region>]")
+    return q
+
+
+def _seg_refer_step(model, tokenizer, sample, args, choice=2, question=None):
+    q = _seg_refer_question(sample, args, question)
     out = mm_infer(
         sample["video"],
         q,
@@ -100,29 +105,25 @@ def run_benchmark(args, runtime=None) -> None:
             image_size=image_size, sam_image_size=sam_image_size,
             **frames_kw,
         )
-        for i in range(len(ds)):
-            try:
-                sample = ds[i]
-                question = {
-                    "pixrqa": PIXRQA_QUESTION,
-                    "videorefer_d": VIDEOREFER_D_QUESTION,
-                }.get(bench)
-                text, extra = _seg_refer_step(
-                    model, tokenizer, sample, args, question=question
-                )
-                rec: Dict[str, Any] = {
-                    "id": sample["id"],
-                    "video": sample["video_name"],
-                    "pred": text,
-                    "caption": sample.get("caption"),
-                }
-                if bench == "pixtrqa":
-                    rec["span"] = parse_temporal_span(text)
-                writer.write(rec)
-                if extra.get("pred_masks"):
-                    save_mask_pngs(mask_dir, sample["id"], extra["pred_masks"][0])
-            except Exception:
-                traceback.print_exc()
+        question = {
+            "pixrqa": PIXRQA_QUESTION,
+            "videorefer_d": VIDEOREFER_D_QUESTION,
+        }.get(bench)
+
+        def emit_seg(sample, text, extra):
+            rec: Dict[str, Any] = {
+                "id": sample["id"],
+                "video": sample["video_name"],
+                "pred": text,
+                "caption": sample.get("caption"),
+            }
+            if bench == "pixtrqa":
+                rec["span"] = parse_temporal_span(text)
+            writer.write(rec)
+            if extra.get("pred_masks"):
+                save_mask_pngs(mask_dir, sample["id"], extra["pred_masks"][0])
+
+        _seg_refer_loop(ds, model, tokenizer, args, emit_seg, question=question)
     elif bench == "mvbench":
         ds = MCQABenchmark(args.video_folder, questions,
                            image_size=image_size, **frames_kw)
@@ -166,6 +167,56 @@ def run_benchmark(args, runtime=None) -> None:
     else:
         raise ValueError(f"unknown benchmark {bench}")
     writer.close()
+
+
+def _seg_refer_loop(ds, model, tokenizer, args, emit, question=None):
+    """Seg/refer benchmark loop with optional batching (--batch > 1):
+    region-prompted QA + path-A [SEG] masks run through one batched
+    dispatch + one batched SAM2 propagation per group (api.mm_infer_batch),
+    with per-sample fallback on any batch failure."""
+    bs = max(1, getattr(args, "batch", 1))
+    idx = 0
+    while idx < len(ds):
+        group = []
+        for i in range(idx, min(idx + bs, len(ds))):
+            try:
+                group.append(ds[i])
+            except Exception:
+                traceback.print_exc()
+        idx += bs
+        if not group:
+            continue
+        if bs > 1 and len(group) > 1:
+            try:
+                results = mm_infer_batch(
+                    [
+                        {
+                            "video": s["video"],
+                            "instruct": _seg_refer_question(s, args, question),
+                            "masks": s.get("masks"),
+                            "ann_indices": s.get("ann_indices"),
+                            "frame": s.get("frame"),
+                            "images_sam": s.get("images_sam"),
+                            "label_size": (s["height"], s["width"]),
+                        }
+                        for s in group
+                    ],
+                    model, tokenizer, modal="video", choice=2,
+                    max_new_tokens=args.max_new_tokens,
+                )
+                for s, (text, extra) in zip(group, results):
+                    emit(s, text, extra)
+                continue
+            except Exception:
+                traceback.print_exc()  # fall through to per-sample
+        for s in group:
+            try:
+                text, extra = _seg_refer_step(
+                    model, tokenizer, s, args, question=question
+                )
+                emit(s, text, extra)
+            except Exception:
+                traceback.print_exc()
 
 
 def _qa_loop(ds, model, tokenizer, args, emit):
@@ -231,7 +282,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1,
                    help="samples per batched dispatch for QA benchmarks "
-                        "(mvbench/tvg); 1 = reference-style bs=1 loop")
+                        "(mvbench/tvg and the seg/refer family); "
+                        "1 = reference-style bs=1 loop")
     return p
 
 
