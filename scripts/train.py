@@ -41,6 +41,9 @@ def main():
     p.add_argument("--fsdp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--no-gradient-checkpointing", action="store_true",
+                   help="disable per-layer remat (the reference trains WITH "
+                        "--gradient_checkpointing, train_1121v1.sh)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -67,7 +70,10 @@ def main():
             runtime.cfg.budget,
             num_frames=args.num_frames,
             num_frames_sam=args.num_frames_sam,
-        )
+        ),
+        llm=dataclasses.replace(
+            runtime.cfg.llm, remat=not args.no_gradient_checkpointing
+        ),
     )
 
     tc = TrainConfig(

@@ -205,3 +205,31 @@ def test_keyword_stop_sequences(hf_and_params):
         stop_ids=(), cache_max_len=32, stop_sequences=((int(toks[1]),),),
     )
     assert int(single.gen_lens[0]) == 2
+
+
+def test_remat_matches_dense_loss_and_grads():
+    """remat=True (reference --gradient_checkpointing) must change nothing
+    numerically — same loss, same grads, one extra forward in the bwd."""
+    import dataclasses
+
+    from ufvideo_tpu.configs import tiny_config
+
+    base = tiny_config().llm
+    outs = {}
+    for remat in (False, True):
+        cfg = dataclasses.replace(base, remat=remat)
+        m = Qwen2LM(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))[
+            "params"
+        ]
+
+        def loss(pp):
+            h = m.apply({"params": pp}, jnp.arange(8)[None])
+            return jnp.sum(h.astype(jnp.float32) ** 2)
+
+        outs[remat] = (float(loss(p)), jax.grad(loss)(p))
+    assert outs[False][0] == outs[True][0]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        outs[False][1], outs[True][1],
+    )

@@ -75,6 +75,11 @@ class Qwen2Config:
     # ids of ChatML control tokens in the Qwen2 tokenizer
     eos_token_id: int = 151645  # <|im_end|>
     pad_token_id: int = 151643  # <|endoftext|>
+    # rematerialize each decoder layer in the backward pass (the TPU
+    # equivalent of the reference's --gradient_checkpointing,
+    # scripts/train/train_1121v1.sh): trades one extra forward for not
+    # storing per-layer activations
+    remat: bool = False
 
     @property
     def padded_vocab_size(self) -> int:

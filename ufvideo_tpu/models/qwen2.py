@@ -251,8 +251,19 @@ class Qwen2LM(nn.Module):
                 cfg.padded_vocab_size, use_bias=False, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="lm_head",
             )
+        layer_cls = Qwen2DecoderLayer
+        if cfg.remat:
+            # gradient checkpointing (reference train_1121v1.sh
+            # --gradient_checkpointing): recompute each layer's forward in
+            # the backward pass instead of storing activations; dots are
+            # saved (policy) so the MXU work is not redone
+            layer_cls = nn.remat(
+                layer_cls,
+                static_argnums=(3,),  # mode (index incl. module self)
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            )
         self.layers = nn.scan(
-            Qwen2DecoderLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(0, nn.broadcast),
