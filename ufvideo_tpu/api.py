@@ -14,7 +14,6 @@ Device work is organized as a small set of jitted stages with static shapes
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax

@@ -16,9 +16,8 @@ import argparse
 import json
 import os
 import traceback
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import numpy as np
 
 from ..api import mm_infer, mm_infer_batch, model_init
 from .datasets import MCQABenchmark, SegReferBenchmark, TVGBenchmark

@@ -18,7 +18,7 @@ cache, :3547-3579) — far better MXU utilization.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ with f32 accumulation, softmax scale head_dim**-0.5, exact (erf) GELU.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
