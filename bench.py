@@ -5,13 +5,14 @@ Default benchmark: Qwen2-7B greedy decode throughput, bf16, batch 1
 weight-only reaches 90+, batch 8 int8 reaches 448 aggregate). Other
 benchmarks via argv:
 
-    python bench.py [decode|vit_encode|projector]
+    python bench.py [decode|prefill|vit_encode|sam_encode|projector|e2e|e2e_batch|all]
     UFVIDEO_BENCH_QUANT=1 python bench.py decode   # int8 weight-only
 
-Note on the vit_encode baseline: 2000 frames/s/chip for SigLIP-SO400M at
-384² exceeds the v5e bf16 flop ceiling (576 GFLOP/frame ⇒ ~340 f/s at 100%
-MFU); measured 139 f/s ≈ 44% MFU of the 181.6 TFLOP/s this chip sustains on
-pure matmuls.
+The default (driver) invocation attaches MEASURED_THIS_ROUND — the full
+suite's numbers measured on this chip during the round — as an "extra"
+field on the single JSON line. Note on the vit_encode baseline: 2000
+frames/s/chip for SigLIP-SO400M at 384² exceeds the v5e bf16 flop ceiling
+(576 GFLOP/frame ⇒ ~340 f/s at 100% MFU; see PERF.md).
 """
 
 import json
