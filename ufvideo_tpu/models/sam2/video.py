@@ -271,12 +271,14 @@ def propagate_videos_batched(
 ) -> jnp.ndarray:
     """Propagate V independent videos in one scan.
 
-    The video dim rides the memory machinery's object-batch dim, so the
-    per-frame small ops (memory attention, SAM heads, memory encoder) see a
-    V-row batch instead of V separate latency-bound scans — measured 6%
-    matmul efficiency for the single-video scan at B=1 (PERF.md). For
-    multiple objects per video, repeat each video's features per object and
-    flatten (V*B, ...). Returns low-res mask logits [T, V, 1, h4, w4].
+    The video dim rides the memory machinery's object-batch dim: one scan
+    and one dispatch instead of V, with the per-frame ops (memory
+    attention, SAM heads, memory encoder) seeing a V-row batch. Single-video
+    propagation is already cheap (~82 ms for 8 frames on a v5e), so the
+    end-to-end gain is modest — the point is serving latency that stays
+    flat in V. For multiple objects per video, repeat each video's features
+    per object and flatten (V*B, ...). Returns low-res mask logits
+    [T, V, 1, h4, w4].
     """
     f = FrameFeatures(
         jnp.moveaxis(feats.s0, 0, 1),
