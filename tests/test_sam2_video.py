@@ -212,6 +212,7 @@ def test_masks_to_video_res_shape():
     assert out.dtype == bool
 
 
+@pytest.mark.slow
 def test_batched_multivideo_propagation_matches_loop():
     """propagate_videos_batched(V videos) == per-video propagate_video."""
     from ufvideo_tpu.models.sam2.video import propagate_videos_batched
