@@ -28,6 +28,12 @@ def _params(key, c, heads, hp, mlp):
     )
 
 
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="tight-tolerance f32 parity needs CPU full-precision matmuls "
+    "(the kernel pins DEFAULT precision; bf16 on-chip coverage is "
+    "test_kernel_on_chip_bf16)",
+)
 @pytest.mark.parametrize(
     "n,s,c,heads",
     [
@@ -53,6 +59,10 @@ def test_kernel_matches_reference(n, s, c, heads):
     )
 
 
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="tight-tolerance f32 parity needs CPU full-precision matmuls",
+)
 def test_module_uses_fused_path_consistently():
     """MultiScaleBlock's fused path (reference fallback on CPU) must match
     the unfused module math on the same params."""
