@@ -402,7 +402,7 @@ def main():
         "prefill": bench_prefill,
         "sam_encode": bench_sam_encode,
         "e2e": bench_e2e,
-        "e2e_batch": lambda: bench_e2e(batch=4),
+        "e2e_batch": lambda: bench_e2e(batch=8),
     }
     if which == "all":
         # regenerate MEASURED_THIS_ROUND (one JSON line per bench, live)
