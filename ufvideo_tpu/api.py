@@ -606,14 +606,17 @@ def mm_infer_batch(
             else:
                 feats_list.append(None)
                 counts_list.append([])
-        rt_max = max((f.shape[0] for f in feats_list if f is not None), default=1)
-        d = next(f for f in feats_list if f is not None).shape[-1]
-        packed = np.zeros((b, rt_max, d), np.float32)
-        for i, f in enumerate(feats_list):
-            if f is not None:
-                packed[i, : f.shape[0]] = f
-        region_feats = jnp.asarray(packed, cfg.compute_dtype)
-        region_counts_list = counts_list
+        # a sample may carry a frame but no masks — if none produced
+        # features, there are no region tokens to splice at all
+        if any(f is not None for f in feats_list):
+            rt_max = max(f.shape[0] for f in feats_list if f is not None)
+            d = next(f for f in feats_list if f is not None).shape[-1]
+            packed = np.zeros((b, rt_max, d), np.float32)
+            for i, f in enumerate(feats_list):
+                if f is not None:
+                    packed[i, : f.shape[0]] = f
+            region_feats = jnp.asarray(packed, cfg.compute_dtype)
+            region_counts_list = counts_list
 
     stop_sequences = tuple(
         tuple(tokenizer(s, add_special_tokens=False).input_ids)

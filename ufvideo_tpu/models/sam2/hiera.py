@@ -22,8 +22,12 @@ matters: q-pooling boundaries (4 blocks) and the per-stage FPN outputs.
 Static-shape notes: at image_size 1024 the stage token grids are 256/128/64/32
 and every window size divides its grid, so window partition is pure
 reshape+transpose with no padding. Padding is still supported for windowed
-blocks (zero-pad tokens participate in window softmax exactly as the
-reference's F.pad does); global blocks require an unpadded grid.
+blocks, but only approximately: the pad rows are zeroed once at stage entry,
+not re-zeroed after each block, so across a multi-block stage they pass
+through LayerNorm (LN(0) = bias) and accumulate residuals, perturbing
+edge-window attention keys relative to the reference's per-block F.pad.
+Latent at every shipped config (all window sides divide all stage grids);
+global blocks require an unpadded grid outright.
 """
 
 from __future__ import annotations
