@@ -54,3 +54,45 @@ def test_tensor_parallel_forward_equivalence(cpu_mesh):
             ids, NamedSharding(cpu_mesh, P())
         )))
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_flagship_dims_divisibility_audit():
+    """At the REAL 7B dims (3584 hidden / 28-4 heads / 152k vocab), no
+    param ≥100 MB may silently fall back to replication on the deployment
+    meshes (VERDICT r2 #1: the partition rules must meet the real dims)."""
+    from ufvideo_tpu.configs import UFVideoConfig
+    from ufvideo_tpu.models.ufvideo import UFVideoModel
+    from ufvideo_tpu.parallel.partition import (
+        audit_shardings, per_chip_state_bytes,
+    )
+
+    model = UFVideoModel(UFVideoConfig())
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0)))
+
+    devs = jax.devices()
+    if len(devs) < 8:  # single-device env: fake an 8-entry device array
+        devs = list(devs) * 8
+    for dp, fsdp, tp in [(1, 4, 2), (1, 2, 4), (2, 4, 1), (1, 8, 1)]:
+        mesh = create_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devs[: dp * fsdp * tp])
+        findings = audit_shardings(shapes, mesh)
+        assert not findings, (dp, fsdp, tp, findings)
+        # the sharded state must actually shrink: per-chip ≤ 40% of total
+        # on an 8-way mesh (towers replicate a small remainder)
+        total = per_chip_state_bytes(shapes, create_mesh(
+            dp=1, fsdp=1, tp=1, devices=devs[:1]))
+        per_chip = per_chip_state_bytes(shapes, mesh)
+        assert per_chip <= 0.4 * total, (dp, fsdp, tp, per_chip / total)
+
+
+def test_audit_flags_nondivisible_big_param():
+    from ufvideo_tpu.parallel.partition import audit_shardings
+
+    devs = (jax.devices() * 8)[:8]
+    mesh = create_mesh(dp=1, fsdp=4, tp=2, devices=devs)
+    # dim1 % fsdp=4 != 0 and dim2 % tp=2 != 0 -> divisibility fallback; the
+    # tensor is >100 MB so the audit must flag it
+    params = {"llm": {"layers": {"mlp_gate_proj": {"kernel": jax.ShapeDtypeStruct(
+        (28, 2_000_002, 3), jnp.bfloat16)}}}}
+    findings = audit_shardings(params, mesh)
+    assert len(findings) == 1
+    assert findings[0]["reason"] == "divisibility fallback"

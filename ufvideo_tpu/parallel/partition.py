@@ -8,7 +8,9 @@ everything can be FSDP-sharded (ZeRO-equivalent). Rules are matched on the
 
 from __future__ import annotations
 
+import math
 import re
+import warnings
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
@@ -91,16 +93,115 @@ def _divisible(shape: Tuple[int, ...], spec: P, mesh: Mesh) -> bool:
 
 def shardings_for(params: Any, mesh: Mesh, rules: Rules = DEFAULT_RULES) -> Any:
     """NamedSharding pytree for ``params``; falls back to replication when a
-    dim does not divide the mesh axis (small adapters, odd head counts)."""
+    dim does not divide the mesh axis (small adapters, odd head counts).
+
+    The fallback is never silent for big tensors: any leaf ≥100 MB whose
+    requested spec fell back raises a warning (a replicated 7B-scale param
+    on a real mesh is a deployment bug, not a convenience). Use
+    :func:`audit_shardings` for a programmatic report."""
     specs = partition_specs(params, rules)
 
     def to_sharding(leaf, spec):
         shape = getattr(leaf, "shape", ())
         if not _divisible(shape, spec, mesh):
+            nbytes = _leaf_nbytes(leaf)
+            if nbytes >= AUDIT_MIN_BYTES and _shard_factor(spec, mesh) > 1:
+                warnings.warn(
+                    f"partition rule {spec} for a {shape} param "
+                    f"({nbytes / 2**20:.0f} MB) does not divide mesh "
+                    f"{dict(mesh.shape)} — falling back to replication",
+                    stacklevel=3,
+                )
             spec = P()
         return NamedSharding(mesh, spec)
 
     return jax.tree.map(to_sharding, params, specs)
+
+
+AUDIT_MIN_BYTES = 100 * 2**20  # flag fully-replicated params above this
+
+
+def _leaf_nbytes(leaf) -> int:
+    shape = getattr(leaf, "shape", ())
+    dtype = getattr(leaf, "dtype", None)
+    itemsize = getattr(dtype, "itemsize", None)
+    if itemsize is None:
+        itemsize = jax.numpy.dtype(dtype).itemsize if dtype is not None else 4
+    return int(math.prod(shape)) * int(itemsize)
+
+
+def _shard_factor(spec: P, mesh: Mesh) -> int:
+    """Number of distinct shards the spec splits a tensor into on ``mesh``."""
+    factor = 1
+    for axes in tuple(spec):
+        if axes is None:
+            continue
+        for a in (axes,) if isinstance(axes, str) else axes:
+            factor *= mesh.shape[a]
+    return factor
+
+
+def audit_shardings(
+    params: Any,
+    mesh: Mesh,
+    rules: Rules = DEFAULT_RULES,
+    *,
+    min_bytes: int = AUDIT_MIN_BYTES,
+) -> List[Dict[str, Any]]:
+    """Report every param ≥``min_bytes`` that ends up fully replicated on
+    ``mesh`` — either its rule requested replication, or the requested spec
+    did not divide the mesh and :func:`shardings_for` fell back.
+
+    Returns a list of dicts with ``path / shape / mbytes / requested /
+    reason``. An empty list is the at-scale deployment invariant the
+    flagship dryrun asserts (no >100 MB tensor silently costs full HBM on
+    every chip). ``params`` may be real arrays or ``jax.ShapeDtypeStruct``s.
+    """
+    specs = partition_specs(params, rules)
+    findings: List[Dict[str, Any]] = []
+
+    def visit(path, leaf, spec):
+        nbytes = _leaf_nbytes(leaf)
+        if nbytes < min_bytes:
+            return
+        shape = tuple(getattr(leaf, "shape", ()))
+        divisible = _divisible(shape, spec, mesh)
+        effective = spec if divisible else P()
+        if _shard_factor(effective, mesh) > 1:
+            return
+        reason = (
+            "divisibility fallback" if not divisible and _shard_factor(spec, mesh) > 1
+            else "rule requested replication"
+        )
+        findings.append({
+            "path": _path_str(path),
+            "shape": shape,
+            "mbytes": round(nbytes / 2**20, 1),
+            "requested": str(spec),
+            "reason": reason,
+        })
+
+    jax.tree_util.tree_map_with_path(visit, params, specs)
+    return findings
+
+
+def per_chip_state_bytes(
+    params: Any, mesh: Mesh, rules: Rules = DEFAULT_RULES
+) -> int:
+    """Bytes of ``params`` (or a whole TrainState) resident per chip under
+    the rule-derived shardings — the number the SCALING.md deployment table
+    is checked against."""
+    specs = partition_specs(params, rules)
+    total = 0
+
+    def visit(leaf, spec):
+        nonlocal total
+        shape = tuple(getattr(leaf, "shape", ()))
+        effective = spec if _divisible(shape, spec, mesh) else P()
+        total += _leaf_nbytes(leaf) // _shard_factor(effective, mesh)
+
+    jax.tree.map(visit, params, specs)
+    return total
 
 
 def shard_params(params: Any, mesh: Mesh, rules: Rules = DEFAULT_RULES) -> Any:

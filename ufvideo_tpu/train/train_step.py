@@ -142,6 +142,23 @@ def language_model_loss_fn(
     return loss, {"ce_loss": ce, "loss": loss}
 
 
+def _build_step(model, optimizer, loss_fn):
+    def step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(model, p, batch), has_aux=True
+        )
+        (loss, metrics), grads = grad_fn(state.params)
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    return step
+
+
 def make_train_step(
     model: UFVideoModel,
     optimizer: optax.GradientTransformation,
@@ -162,18 +179,7 @@ def make_train_step(
         opt_state = optimizer.init(params)
         return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
 
-    def step(state: TrainState, batch: Batch):
-        grad_fn = jax.value_and_grad(
-            lambda p: loss_fn(model, p, batch), has_aux=True
-        )
-        (loss, metrics), grads = grad_fn(state.params)
-        updates, new_opt = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        new_params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(state.step + 1, new_params, new_opt), metrics
+    step = _build_step(model, optimizer, loss_fn)
 
     def shard_state(state: TrainState) -> TrainState:
         # optimizer state (AdamW mu/nu) mirrors the param tree paths, so the
@@ -207,3 +213,63 @@ def make_train_step(
         return step_inner(state, batch)
 
     return init, step_jit, shard_state
+
+
+def abstract_train_state(
+    model: UFVideoModel, optimizer: optax.GradientTransformation
+) -> TrainState:
+    """TrainState of ``jax.ShapeDtypeStruct``s at the model's real dims —
+    nothing is allocated, so this works at 7B scale on any host."""
+    param_shapes = jax.eval_shape(
+        lambda: model.init_params(jax.random.PRNGKey(0))
+    )
+    opt_shapes = jax.eval_shape(optimizer.init, param_shapes)
+    return TrainState(
+        jax.ShapeDtypeStruct((), jnp.int32), param_shapes, opt_shapes
+    )
+
+
+def lower_train_step(
+    model: UFVideoModel,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    batch: Batch,
+    loss_fn=language_model_loss_fn,
+    batch_spec: Optional[P] = None,
+):
+    """Lower — trace + SPMD-annotate, without compiling or executing — the
+    full train step at the model's REAL dims over ``mesh``.
+
+    ``batch`` may be real arrays or ``jax.ShapeDtypeStruct``s. This is the
+    flagship-scale sharding validation: a partition rule that does not
+    divide the real dims, or a layout the SPMD partitioner rejects, fails
+    here without needing the chips (or the memory) to run it. Returns
+    (lowered, state_shardings)."""
+    state_shapes = abstract_train_state(model, optimizer)
+    state_sh = shardings_for(state_shapes, mesh, DEFAULT_RULES)
+    state_abs = jax.tree.map(
+        lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
+        state_shapes, state_sh,
+    )
+
+    spec = BATCH_SPEC if batch_spec is None else batch_spec
+    axes = spec[0] if spec else ()
+    axes = (axes,) if isinstance(axes, str) else tuple(axes or ())
+    dp_size = 1
+    for a in axes:
+        dp_size *= mesh.shape[a]
+    batch_sharding = NamedSharding(mesh, spec)
+    replicated = NamedSharding(mesh, P())
+
+    def abstract(x):
+        sh = (
+            batch_sharding
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp_size == 0
+            else replicated
+        )
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+    batch_abs = jax.tree.map(abstract, batch)
+    step = _build_step(model, optimizer, loss_fn)
+    lowered = jax.jit(step, donate_argnums=(0,)).lower(state_abs, batch_abs)
+    return lowered, state_sh
