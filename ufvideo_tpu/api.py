@@ -154,6 +154,7 @@ class UFVideoRuntime:
             top_p=top_p,
             rng=jax.random.PRNGKey(seed),
             stop_sequences=tuple(tuple(s) for s in stop_sequences),
+            kv_quant=bool(cfg.quant_kv),
         )
         n = int(res.gen_lens[0])
         tokens = np.asarray(res.tokens[0, :n])
@@ -216,6 +217,7 @@ class UFVideoRuntime:
             top_p=top_p,
             rng=jax.random.PRNGKey(seed),
             stop_sequences=tuple(tuple(s) for s in stop_sequences),
+            kv_quant=bool(cfg.quant_kv),
         )
         out = []
         for i in range(b):

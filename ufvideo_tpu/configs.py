@@ -236,6 +236,10 @@ class UFVideoConfig:
     param_dtype: jnp.dtype = jnp.bfloat16
     # int8 weight-only LLM (bnb 4/8-bit load parity; ufvideo_tpu.quant)
     quant_llm: Any = False  # False | True/'int8' | 'int4' weight-only LLM
+    # int8 KV cache for decode (beyond-reference serving capacity lever:
+    # halves the cache HBM footprint + decode read traffic; scales fold
+    # into the ragged decode kernel)
+    quant_kv: bool = False
 
     @property
     def num_video_tokens(self) -> int:

@@ -63,7 +63,7 @@ def _sample_token(logits: jnp.ndarray, key, do_sample: bool,
     jax.jit,
     static_argnames=(
         "model", "max_new_tokens", "stop_ids", "cache_max_len", "vocab_size",
-        "do_sample", "temperature", "top_p", "stop_sequences",
+        "do_sample", "temperature", "top_p", "stop_sequences", "kv_quant",
     ),
 )
 def greedy_generate(
@@ -81,6 +81,7 @@ def greedy_generate(
     top_p: float = 1.0,
     rng: jnp.ndarray | None = None,
     stop_sequences: Tuple[Tuple[int, ...], ...] = (),
+    kv_quant: bool = False,  # int8 KV cache (half the cache HBM + traffic)
 ) -> GenerateResult:
     """One fused dispatch for prefill + the whole decode loop — eager
     stage-by-stage dispatch costs seconds per call on remote runtimes.
@@ -102,7 +103,9 @@ def greedy_generate(
     stop_sequences = tuple(seq for seq in stop_sequences if len(seq) > 1)
     stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
 
-    cache = make_kv_cache(cfg, b, cache_max_len, dtype=model.dtype)
+    cache = make_kv_cache(
+        cfg, b, cache_max_len, dtype=model.dtype, quant=kv_quant
+    )
 
     # ---- prefill ----
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))

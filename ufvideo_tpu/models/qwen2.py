@@ -47,12 +47,39 @@ class RMSNorm(nn.Module):
 
 
 def make_kv_cache(
-    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+    cfg: Qwen2Config,
+    batch: int,
+    max_len: int,
+    dtype=jnp.bfloat16,
+    quant: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """KV cache in [L, B, Hkv, S, D] layout — (S, D) are the tiled trailing
-    dims the Pallas ragged decode kernel reads directly."""
+    dims the Pallas ragged decode kernel reads directly.
+
+    ``quant=True`` stores int8 values with fp32 per-(position, head) scales
+    (amax over D / 127): half the bf16 HBM footprint and read traffic. The
+    scales commute exactly past both attention contractions (constant along
+    the contracted axis), so dequantization folds into the kernel's
+    score/prob rescale — no bf16 copy of the cache ever exists."""
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if not quant:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+    }
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-position symmetric int8: x [..., D] -> (int8 values, f32 scales
+    [...])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.round(xf / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+    return q, scale[..., 0]
 
 
 class QuantDense(nn.Module):
@@ -177,30 +204,55 @@ class Qwen2DecoderLayer(nn.Module):
                 o = attention(q, k, v, causal=True, kv_lens=seq_lens)
         elif mode == "prefill":
             # cache layout [B, Hkv, S, D]
-            kc = jax.lax.dynamic_update_slice(
-                cache_layer["k"],
-                k.transpose(0, 2, 1, 3).astype(cache_layer["k"].dtype),
-                (0, 0, 0, 0),
-            )
-            vc = jax.lax.dynamic_update_slice(
-                cache_layer["v"],
-                v.transpose(0, 2, 1, 3).astype(cache_layer["v"].dtype),
-                (0, 0, 0, 0),
-            )
-            new_cache = {"k": kc, "v": vc}
+            kt = k.transpose(0, 2, 1, 3)
+            vt = v.transpose(0, 2, 1, 3)
+            new_cache = dict(cache_layer)
+            if "k_scale" in cache_layer:  # int8 KV cache
+                kq, ks = quantize_kv(kt)
+                vq, vs = quantize_kv(vt)
+                for name, val in (
+                    ("k", kq), ("v", vq), ("k_scale", ks), ("v_scale", vs)
+                ):
+                    new_cache[name] = jax.lax.dynamic_update_slice(
+                        cache_layer[name], val, (0,) * cache_layer[name].ndim
+                    )
+            else:
+                new_cache["k"] = jax.lax.dynamic_update_slice(
+                    cache_layer["k"], kt.astype(cache_layer["k"].dtype),
+                    (0, 0, 0, 0),
+                )
+                new_cache["v"] = jax.lax.dynamic_update_slice(
+                    cache_layer["v"], vt.astype(cache_layer["v"].dtype),
+                    (0, 0, 0, 0),
+                )
             o = attention(q, k, v, causal=True, kv_lens=seq_lens)
         elif mode == "decode":
             # write this step's k/v at per-sequence position cache_len
             bidx = jnp.arange(b)[:, None]
             hidx = jnp.arange(cfg.num_kv_heads)[None, :]
-            kc = cache_layer["k"].at[bidx, hidx, cache_len[:, None]].set(
-                k[:, 0].astype(cache_layer["k"].dtype)
-            )
-            vc = cache_layer["v"].at[bidx, hidx, cache_len[:, None]].set(
-                v[:, 0].astype(cache_layer["v"].dtype)
-            )
-            new_cache = {"k": kc, "v": vc}
-            o = decode_attention(q, kc, vc, cache_len + 1)
+            new_cache = dict(cache_layer)
+            if "k_scale" in cache_layer:  # int8 KV cache
+                kq, ks = quantize_kv(k[:, 0])  # [B, Hkv, D] step values
+                vq, vs = quantize_kv(v[:, 0])
+                at = lambda c: c.at[bidx, hidx, cache_len[:, None]]
+                new_cache["k"] = at(cache_layer["k"]).set(kq)
+                new_cache["v"] = at(cache_layer["v"]).set(vq)
+                new_cache["k_scale"] = at(cache_layer["k_scale"]).set(ks)
+                new_cache["v_scale"] = at(cache_layer["v_scale"]).set(vs)
+                o = decode_attention(
+                    q, new_cache["k"], new_cache["v"], cache_len + 1,
+                    k_scale=new_cache["k_scale"],
+                    v_scale=new_cache["v_scale"],
+                )
+            else:
+                kc = cache_layer["k"].at[bidx, hidx, cache_len[:, None]].set(
+                    k[:, 0].astype(cache_layer["k"].dtype)
+                )
+                vc = cache_layer["v"].at[bidx, hidx, cache_len[:, None]].set(
+                    v[:, 0].astype(cache_layer["v"].dtype)
+                )
+                new_cache = {"k": kc, "v": vc}
+                o = decode_attention(q, kc, vc, cache_len + 1)
         else:
             raise ValueError(mode)
 

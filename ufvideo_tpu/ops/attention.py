@@ -290,12 +290,17 @@ def decode_attention(
     v_cache: jnp.ndarray,
     cache_len: jnp.ndarray,
     *,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Single-step decode attention against a padded KV cache.
 
     q: [B, 1, Hq, D]; k_cache/v_cache: [B, Hkv, max_len, D] (kernel-native
     layout); cache_len: [B] valid entries (including the current step).
+    With ``k_scale``/``v_scale`` [B, Hkv, max_len] the cache is int8
+    per-position-quantized (half the HBM read traffic of bf16); the scales
+    are folded into the scores/probs inside the kernel.
 
     Dispatches to the Pallas ragged decode kernel on TPU; XLA masked softmax
     elsewhere.
@@ -303,14 +308,29 @@ def decode_attention(
     b, one, hq, d = q.shape
     hkv = k_cache.shape[1]
     groups = hq // hkv
+    quantized = k_scale is not None
     if _on_tpu():
-        from .decode_attention import ragged_decode_attention
-
         qg = q[:, 0].reshape(b, hkv, groups, d)
-        out = ragged_decode_attention(
-            qg, k_cache, v_cache, cache_len, scale=scale
-        )
+        if quantized:
+            from .decode_attention import ragged_decode_attention_q8
+
+            out = ragged_decode_attention_q8(
+                qg, k_cache, v_cache, k_scale, v_scale, cache_len, scale=scale
+            )
+        else:
+            from .decode_attention import ragged_decode_attention
+
+            out = ragged_decode_attention(
+                qg, k_cache, v_cache, cache_len, scale=scale
+            )
         return out.reshape(b, 1, hq, d)
+    if quantized:
+        k_cache = (k_cache.astype(jnp.float32) * k_scale[..., None]).astype(
+            q.dtype
+        )
+        v_cache = (v_cache.astype(jnp.float32) * v_scale[..., None]).astype(
+            q.dtype
+        )
     return xla_attention(
         q,
         k_cache.transpose(0, 2, 1, 3),
