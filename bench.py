@@ -5,12 +5,14 @@ Default benchmark: Qwen2-7B greedy decode throughput, bf16, batch 1
 weight-only reaches 90+, batch 8 int8 reaches 448 aggregate). Other
 benchmarks via argv:
 
-    python bench.py [decode|prefill|vit_encode|sam_encode|projector|e2e|e2e_batch|all]
-    UFVIDEO_BENCH_QUANT=1 python bench.py decode   # int8 weight-only
+    python bench.py [decode|decode_int8|decode_int8_kvq8|prefill|vit_encode|
+                     sam_encode|projector|e2e|e2e_batch|e2e_batch16|all]
 
-The default (driver) invocation attaches MEASURED_THIS_ROUND — the full
-suite's numbers measured on this chip during the round — as an "extra"
-field on the single JSON line. Note on the vit_encode baseline: 2000
+The default (driver) invocation measures the headline decode live, then
+re-measures the extra modes LIVE cheapest-first inside a time budget
+(UFVIDEO_BENCH_BUDGET seconds, default 4200); only a mode whose compile+run
+estimate exceeds the remaining budget falls back to its last recorded value,
+explicitly flagged {"stale": true}. Note on the vit_encode baseline: 2000
 frames/s/chip for SigLIP-SO400M at 384² exceeds the v5e bf16 flop ceiling
 (576 GFLOP/frame ⇒ ~340 f/s at 100% MFU; see PERF.md).
 """
@@ -152,7 +154,13 @@ def bench_projector(batch: int = 4, frames: int = 32):
     return "projector_clips_per_sec", batch / dt, "clips/s/chip"
 
 
-def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
+def bench_decode(
+    batch: int = 1,
+    prompt_len: int = 512,
+    new_tokens: int = 64,
+    quant: bool = None,
+    kv_quant: bool = False,
+):
     """7B greedy decode throughput (tokens/sec/chip)."""
     import dataclasses
 
@@ -166,7 +174,8 @@ def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
     cfg = Qwen2Config()
     if os.environ.get("UFVIDEO_BENCH_SMALL", "") == "1":
         cfg = dataclasses.replace(cfg, num_layers=4)
-    quant = os.environ.get("UFVIDEO_BENCH_QUANT", "") == "1"
+    if quant is None:
+        quant = os.environ.get("UFVIDEO_BENCH_QUANT", "") == "1"
     model = Qwen2LM(
         cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, quant=quant
     )
@@ -187,11 +196,17 @@ def bench_decode(batch: int = 1, prompt_len: int = 512, new_tokens: int = 64):
             model, params, embeds, seq_lens,
             max_new_tokens=new_tokens, stop_ids=(-1,),
             cache_max_len=prompt_len + new_tokens,
+            kv_quant=kv_quant,
         ).tokens
 
     dt = _timeit(run, warmup=1, iters=3)
     tps = batch * new_tokens / dt
-    return "qwen2_7b_decode_tokens_per_sec", tps, "tokens/s/chip"
+    name = "qwen2_7b_decode"
+    name += "_int8" if quant else ""
+    name += "_kvq8" if kv_quant else ""
+    if batch > 1:
+        name += f"_batch{batch}"
+    return name + "_tokens_per_sec", tps, "tokens/s/chip"
 
 
 def bench_prefill(batch: int = 1, seq: int = 2048):
@@ -264,6 +279,7 @@ def bench_e2e(
     sam_frames: int = 8,
     new_tokens: int = 64,
     batch: int = 1,
+    kv_quant: bool = False,
 ):
     """Full PixRQA-style pipeline on one chip (BASELINE.json metric
     'PixRQA e2e latency'): 32-frame SigLIP encode → STC projector → splice →
@@ -350,6 +366,7 @@ def bench_e2e(
             jnp.asarray(plan.seq_lens),
             max_new_tokens=new_tokens, stop_ids=(-1,),
             cache_max_len=trim + new_tokens,
+            kv_quant=kv_quant,
         )
         seg_embed = model.seg_embeddings(params, res.hidden[:, :1, :])
         sfeats = encode_video_frames(sam, params["sam"], images_sam)
@@ -375,42 +392,74 @@ def bench_e2e(
     return name, batch / dt, "videos/s/chip"
 
 
-# Full-suite numbers measured on THIS chip during the round (same harness,
-# `python bench.py <name>`), attached to the driver's default line so the
-# recorded BENCH json carries the whole picture, not just decode. Ceilings
-# are the model-flop limits at the chip's 181.6 TF/s sustained matmul rate
-# (PERF.md "Calibration") — e.g. SigLIP-SO400M at 384² costs 576 GFLOP/frame
-# ⇒ ~340 f/s at 100% MFU, so BASELINE.json's 2000 f/s north star is above
-# the hardware ceiling for this tower.
-MEASURED_THIS_ROUND = {
-    "vit_encode_frames_per_sec": 239.1,  # ceiling ~340 (70% MFU)
-    "vit_encode_ceiling_fps": 340.0,
-    "sam2_encode_frames_per_sec": 42.2,
-    "qwen2_7b_decode_int8_tokens_per_sec": 90.2,
-    "qwen2_7b_prefill_tokens_per_sec": 12227.0,
-    "pixrqa_e2e_videos_per_sec": 0.685,
-    "pixrqa_e2e_videos_per_sec_batch8": 1.11,
+# Last numbers RECORDED from live `python bench.py <mode>` runs on this
+# round's chip. Used ONLY as a fallback when the driver's default invocation
+# runs out of its time budget before a mode can be re-measured — and then
+# each fallback value is explicitly flagged {"stale": true}. `python
+# bench.py all` prints the whole suite live.
+RECORDED = {
+    # mode -> (metric name, value, unit)   [recorded round 2, commit a4f91cc]
+    "vit_encode": ("vit_encode_frames_per_sec", 239.1, "frames/s/chip"),
+    "sam_encode": ("sam2_encode_frames_per_sec", 42.2, "frames/s/chip"),
+    "decode_int8": ("qwen2_7b_decode_int8_tokens_per_sec", 90.2, "tokens/s/chip"),
+    "prefill": ("qwen2_7b_prefill_tokens_per_sec", 12227.0, "tokens/s/chip"),
+    "e2e": ("pixrqa_e2e_videos_per_sec", 0.685, "videos/s/chip"),
+    "e2e_batch": ("pixrqa_e2e_videos_per_sec_batch8", 1.11, "videos/s/chip"),
 }
 
+# Modes the driver line re-measures live, cheapest first, with per-mode cost
+# estimates (seconds, dominated by remote compile) used to decide whether
+# the remaining budget allows a live run.
+DRIVER_EXTRA_MODES = (
+    # (mode key, est. seconds incl. compile)
+    ("decode_int8", 600),
+    ("vit_encode", 600),
+    ("sam_encode", 1100),
+    ("e2e", 1600),
+)
 
-def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "decode"
-    fns = {
+
+def _mode_fns():
+    return {
         "vit_encode": bench_vit_encode,
         "projector": bench_projector,
         "decode": bench_decode,
+        "decode_int8": lambda: bench_decode(quant=True),
+        "decode_int8_kvq8": lambda: bench_decode(quant=True, kv_quant=True),
         "prefill": bench_prefill,
         "sam_encode": bench_sam_encode,
         "e2e": bench_e2e,
         "e2e_batch": lambda: bench_e2e(batch=8),
+        "e2e_batch16": lambda: bench_e2e(batch=16, kv_quant=True),
     }
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "driver"
+    fns = _mode_fns()
     if which == "all":
-        # regenerate MEASURED_THIS_ROUND (one JSON line per bench, live)
         for name, fn in fns.items():
             metric, value, unit = fn()
             print(json.dumps({"metric": metric, "value": round(float(value), 2), "unit": unit}), flush=True)
         return
-    metric, value, unit = fns[which]()
+    if which != "driver":
+        metric, value, unit = fns[which]()
+        baseline = BASELINES.get(metric, 0.0)
+        print(json.dumps({
+            "metric": metric,
+            "value": round(float(value), 2),
+            "unit": unit,
+            "vs_baseline": round(float(value) / baseline, 4) if baseline else None,
+        }))
+        return
+
+    # Driver invocation: headline decode live, then re-measure the extras
+    # live inside the time budget (cheapest first); only a mode whose cost
+    # estimate exceeds the remaining budget falls back to its RECORDED
+    # value, flagged stale.
+    budget = float(os.environ.get("UFVIDEO_BENCH_BUDGET", 4200.0))
+    t_start = time.perf_counter()
+    metric, value, unit = bench_decode()
     baseline = BASELINES.get(metric, 0.0)
     record = {
         "metric": metric,
@@ -418,8 +467,21 @@ def main():
         "unit": unit,
         "vs_baseline": round(float(value) / baseline, 4) if baseline else None,
     }
-    if len(sys.argv) <= 1:
-        record["extra"] = MEASURED_THIS_ROUND
+    extra = {}
+    for mode, est_seconds in DRIVER_EXTRA_MODES:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < est_seconds:
+            name, val, _unit = RECORDED[mode]
+            extra[name] = {"value": val, "stale": True}
+            continue
+        try:
+            name, val, _unit = _mode_fns()[mode]()
+            extra[name] = round(float(val), 2)
+        except Exception as e:  # a failed extra must not kill the headline
+            name = RECORDED[mode][0]
+            extra[name] = {"value": RECORDED[mode][1], "stale": True,
+                           "error": type(e).__name__}
+    record["extra"] = extra
     print(json.dumps(record))
 
 

@@ -132,3 +132,42 @@ def test_trainer_checkpoint_rotation(tmp_path):
 
     restored = trainer.maybe_resume(state)
     assert int(restored.step) == 7
+
+
+def test_trainer_adapter_save_writes_reference_bins(tmp_path):
+    """tune_adapters_only checkpoints carry the reference's
+    mm_projector.bin/region_encoder.bin next to the orbax artifact
+    (videorefer_trainer.py:343-385 format)."""
+    import os
+
+    from ufvideo_tpu.train.trainer import TrainConfig, Trainer
+    from ufvideo_tpu.train.train_step import TrainState
+
+    cfg = tiny_config()
+    model = UFVideoModel(cfg)
+    tc = TrainConfig(
+        output_dir=str(tmp_path), total_steps=10, tune_adapters_only=True
+    )
+    trainer = Trainer(model, cfg, tc)
+    params = model.init_params(jax.random.PRNGKey(0))
+    state = TrainState(
+        jnp.asarray(3), params, None  # opt state unused by save()
+    )
+    trainer.save(state)
+    ckpt = os.path.join(tmp_path, "checkpoint-3")
+    assert os.path.exists(os.path.join(ckpt, "mm_projector.bin"))
+    assert os.path.exists(os.path.join(ckpt, "region_encoder.bin"))
+
+    from ufvideo_tpu.checkpoints import load_adapter_weights
+    from ufvideo_tpu.weights import convert_stc_projector
+
+    proj = convert_stc_projector(
+        load_adapter_weights(os.path.join(ckpt, "mm_projector.bin")),
+        depth=cfg.projector.depth, mlp_depth=cfg.projector.mlp_depth,
+    )
+    ref = jax.tree.map(np.asarray, params["projector"])
+    got_leaves = jax.tree.leaves(proj)
+    ref_leaves = jax.tree.leaves(ref)
+    assert len(got_leaves) == len(ref_leaves)
+    for g, r in zip(got_leaves, ref_leaves):
+        np.testing.assert_allclose(np.asarray(g), r, atol=1e-6)

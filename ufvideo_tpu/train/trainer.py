@@ -110,16 +110,33 @@ class Trainer:
         path = os.path.join(self.tc.output_dir, f"checkpoint-{step}")
         os.makedirs(self.tc.output_dir, exist_ok=True)
         if self.tc.tune_adapters_only:
-            # adapter-only artifacts (videorefer_trainer.py:343-385)
+            # adapter-only artifacts (videorefer_trainer.py:343-385): native
+            # orbax plus the reference's mm_projector.bin/region_encoder.bin
+            # flavor so the reference stack can consume them directly
             adapters = {
                 k: state.params[k]
                 for k in ("projector", "region")
                 if k in state.params
             }
             save_params(path, adapters)
+            try:
+                from ..export import save_adapter_bins
+
+                save_adapter_bins(path, adapters, self.cfg)
+            except ImportError:  # torch unavailable: orbax artifact only
+                pass
         else:
             save_params(path, state)
         self._rotate()
+
+    def export_hf(self, state: TrainState, path: str) -> None:
+        """Write the final model as a reference-loadable HF-style checkpoint
+        (export.save_hf_checkpoint) — the counterpart of the reference's
+        safe_save_model_for_hf_trainer (videorefer_trainer.py:93-146)."""
+        from ..export import save_hf_checkpoint
+
+        params = jax.tree.map(np.asarray, state.params)
+        save_hf_checkpoint(path, params, self.cfg)
 
     def _rotate(self) -> None:
         ckpts = sorted(
