@@ -62,3 +62,71 @@ def test_fixed_grid_loss_tracks_native(h, w):
     # the fixed grid perturbs the per-sample loss by only a few percent
     assert np.mean(rels) < 0.04, rels
     assert np.max(rels) < 0.10, rels
+
+
+def test_collator_native_grid_exact_roundtrip():
+    """A batch whose labels share a native resolution computes the loss grid
+    AT that resolution — gt passes through bit-exact (no resample), which is
+    the reference's native-resolution loss (videorefer_qwen2.py:299-305)."""
+    import numpy as np
+
+    from ufvideo_tpu.configs import tiny_config
+    from ufvideo_tpu.train.data import Collator, TrainSample
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(0)
+    v = cfg.vision.image_size
+    ss = cfg.sam.hiera.image_size
+    ts = cfg.budget.num_frames_sam
+
+    def sample(h, w):
+        return TrainSample(
+            input_ids=[5, -201, 7], labels=[-100, -100, 7],
+            video=rng.randn(cfg.budget.num_frames, v, v, 3).astype(np.float32),
+            images_sam=rng.randn(ts, ss, ss, 3).astype(np.float32),
+            gt_masks=(rng.rand(1, ts, h, w) > 0.5).astype(np.float32),
+        )
+
+    col = Collator(cfg, -300, -301)
+    s = sample(48, 72)
+    batch = col([s, s])
+    assert batch["gt_masks"].shape[-2:] == (48, 72)
+    np.testing.assert_array_equal(batch["gt_masks"][0, 0, :, :48, :72],
+                                  s.gt_masks[0])
+
+    # registered grids are capped; an overflow resolution reuses the closest
+    for i, (h, w) in enumerate([(30, 40), (60, 90), (100, 100), (20, 20),
+                                (80, 50)]):
+        col([sample(h, w)] * 2)
+    assert len(col._grids) <= col.native_loss_grids
+    over = col([sample(47, 71)] * 2)  # not registered: falls to (48, 72)
+    assert tuple(over["gt_masks"].shape[-2:]) in [tuple(g) for g in col._grids]
+
+    # native_loss_grids=0 restores the fixed square grid
+    fixed = Collator(cfg, -300, -301, loss_mask_size=32, native_loss_grids=0)
+    b = fixed([sample(40, 60)] * 2)
+    assert b["gt_masks"].shape[-2:] == (32, 32)
+
+
+def test_collator_caps_huge_native_resolution():
+    import numpy as np
+
+    from ufvideo_tpu.configs import tiny_config
+    from ufvideo_tpu.train.data import Collator, TrainSample
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(1)
+    v = cfg.vision.image_size
+    ss = cfg.sam.hiera.image_size
+    ts = cfg.budget.num_frames_sam
+    s = TrainSample(
+        input_ids=[5, -201, 7], labels=[-100, -100, 7],
+        video=rng.randn(cfg.budget.num_frames, v, v, 3).astype(np.float32),
+        images_sam=rng.randn(ts, ss, ss, 3).astype(np.float32),
+        gt_masks=(rng.rand(1, ts, 1080, 1920) > 0.5).astype(np.float32),
+    )
+    col = Collator(cfg, -300, -301, max_loss_side=1024)
+    batch = col([s])
+    gh, gw = batch["gt_masks"].shape[-2:]
+    assert max(gh, gw) <= 1024
+    assert abs(gh / gw - 1080 / 1920) < 0.01  # aspect preserved

@@ -17,7 +17,7 @@ import json
 import os
 import random
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -437,11 +437,57 @@ class Collator:
         region_token_id: int,
         seg_token_id: int,
         loss_mask_size: int = 512,
+        native_loss_grids: int = 6,
+        max_loss_side: int = 1024,
     ):
         self.cfg = cfg
         self.region_token_id = region_token_id
         self.seg_token_id = seg_token_id
         self.loss_mask_size = loss_mask_size
+        # native-resolution mask loss (reference: videorefer_qwen2.py:299-305
+        # computes bce/dice at each label's native H×W). Static shapes are
+        # kept by registering up to ``native_loss_grids`` distinct (H, W)
+        # loss grids as they appear in the data: a batch whose labels share
+        # a registered resolution computes its loss EXACTLY at native
+        # resolution (no resampling at all); only overflow resolutions fall
+        # back to the nearest registered grid (nearest-neighbor GT resample,
+        # the old fixed-512 deviation, now bounded by grid proximity).
+        # ``native_loss_grids=0`` restores the fixed loss_mask_size grid.
+        self.native_loss_grids = native_loss_grids
+        self.max_loss_side = max_loss_side
+        self._grids: List[Tuple[int, int]] = []
+
+    def _loss_grid(self, samples) -> Tuple[int, int]:
+        """Choose the (H, W) loss grid for this batch."""
+        if not self.native_loss_grids:
+            return self.loss_mask_size, self.loss_mask_size
+        sizes = [
+            tuple(s.gt_masks.shape[-2:])
+            for s in samples
+            if s.gt_masks is not None
+        ]
+        if not sizes:
+            return self.loss_mask_size, self.loss_mask_size
+        # majority native resolution of the batch, capped for memory
+        want = max(set(sizes), key=sizes.count)
+        scale = self.max_loss_side / max(want)
+        if scale < 1.0:
+            want = (
+                max(int(round(want[0] * scale)), 1),
+                max(int(round(want[1] * scale)), 1),
+            )
+        if want in self._grids:
+            return want
+        if len(self._grids) < self.native_loss_grids:
+            self._grids.append(want)
+            return want
+        # closest registered grid by aspect-weighted area distance
+        def dist(g):
+            return abs(g[0] * g[1] - want[0] * want[1]) + abs(
+                g[0] * want[1] - g[1] * want[0]
+            )
+
+        return min(self._grids, key=dist)
 
     def __call__(self, samples: Sequence[TrainSample]) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -506,20 +552,22 @@ class Collator:
                 region_frame_valid=fv, region_segments=seg,
             )
 
-        # SAM branch padded to (max_objects, num_frames_sam); gt masks are
-        # resampled to a fixed loss resolution so the jitted step never
-        # recompiles on video size (the reference computes the mask loss at
-        # the native label resolution, videorefer_qwen2.py:299-305 — a
-        # documented deviation; dice/bce are resolution-normalized)
+        # SAM branch padded to (max_objects, num_frames_sam). The mask loss
+        # grid is chosen per batch from the registered native-resolution
+        # buckets (see _loss_grid): a batch at a registered resolution
+        # computes its loss exactly at native resolution, matching the
+        # reference (videorefer_qwen2.py:299-305); only overflow resolutions
+        # are nearest-resampled to the closest registered grid. Recompiles
+        # of the jitted step are bounded by ``native_loss_grids``.
         if any(s.images_sam is not None for s in samples):
             import cv2
 
             ts = budget.num_frames_sam
             ss = cfg.sam.hiera.image_size
             n_obj = budget.max_objects
-            gs = self.loss_mask_size
+            gh, gw = self._loss_grid(samples)
             ims = np.zeros((b, ts, ss, ss, 3), np.float32)
-            gts = np.zeros((b, n_obj, ts, gs, gs), np.float32)
+            gts = np.zeros((b, n_obj, ts, gh, gw), np.float32)
             obj_valid = np.zeros((b, n_obj), bool)
             for bi, s in enumerate(samples):
                 if s.images_sam is None:
@@ -529,10 +577,14 @@ class Collator:
                     k = min(s.gt_masks.shape[0], n_obj)
                     for oi in range(k):
                         for ti in range(min(ts, s.gt_masks.shape[1])):
-                            gts[bi, oi, ti] = cv2.resize(
-                                s.gt_masks[oi, ti], (gs, gs),
-                                interpolation=cv2.INTER_NEAREST,
-                            )
+                            m = s.gt_masks[oi, ti]
+                            if m.shape == (gh, gw):
+                                gts[bi, oi, ti] = m
+                            else:
+                                gts[bi, oi, ti] = cv2.resize(
+                                    m, (gw, gh),
+                                    interpolation=cv2.INTER_NEAREST,
+                                )
                     obj_valid[bi, :k] = True
             out.update(images_sam=ims, gt_masks=gts, obj_valid=obj_valid)
         return out
