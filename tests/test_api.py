@@ -114,3 +114,76 @@ def test_mm_infer_batch_matches_loop(runtime):
         for a, b in zip(out["pred_masks"], bout["pred_masks"]):
             assert a.shape == b.shape
             assert (a == b).mean() > 0.99  # bf16-order-insensitive match
+
+
+def test_mm_infer_batch_path_b_matches_loop(runtime):
+    """Batched path B ([SEG] in the input, choice=3) == per-sample
+    mm_infer: same mask shapes, near-identical masks."""
+    from ufvideo_tpu.api import mm_infer_batch
+
+    model, _, tok = runtime
+    cfg = model.cfg
+    rng = np.random.RandomState(7)
+    t = cfg.budget.num_frames
+    img = cfg.vision.image_size
+    sam_img = cfg.sam.hiera.image_size
+    samples = []
+    for i in range(2):
+        conv = [
+            {"from": "human", "value": f"<video>\nSegment object {i}."},
+            {"from": "gpt", "value": "Sure, it is [SEG]."},
+        ]
+        samples.append({
+            "video": rng.randn(t, img, img, 3).astype(np.float32),
+            "instruct": conv,
+            "images_sam": rng.randn(3, sam_img, sam_img, 3).astype(np.float32),
+            "label_size": (32, 40),
+            "masks": [f"gt-{i}"],
+        })
+
+    batched = mm_infer_batch(samples, model, tok, choice=3)
+    for i, s in enumerate(samples):
+        ref = mm_infer(
+            s["video"], s["instruct"], model, tok, modal="video", choice=3,
+            images_sam=s["images_sam"], label_size=s["label_size"], seg=True,
+        )
+        bt, bout = batched[i]
+        assert bt is None
+        assert bout["output"] is None
+        assert bout["gt_masks"] == s["masks"]
+        assert len(bout["pred_masks"]) == len(ref["pred_masks"]) == 1
+        for a, b in zip(ref["pred_masks"], bout["pred_masks"]):
+            assert a.shape == b.shape
+            assert (a == b).mean() > 0.99  # bf16-order-insensitive match
+
+
+def test_mm_infer_batch_mixed_paths(runtime):
+    """A mixed batch routes each sample down its own path and keeps the
+    output order aligned with the input."""
+    from ufvideo_tpu.api import mm_infer_batch
+
+    model, _, tok = runtime
+    cfg = model.cfg
+    rng = np.random.RandomState(9)
+    t = cfg.budget.num_frames
+    img = cfg.vision.image_size
+    sam_img = cfg.sam.hiera.image_size
+    conv = [
+        {"from": "human", "value": "<video>\nSegment the dog."},
+        {"from": "gpt", "value": "It is [SEG]."},
+    ]
+    samples = [
+        {
+            "video": rng.randn(t, img, img, 3).astype(np.float32),
+            "instruct": conv,  # path B (choice=3 conversation w/ [SEG])
+            "images_sam": rng.randn(3, sam_img, sam_img, 3).astype(np.float32),
+            "label_size": (32, 40),
+        },
+        {
+            "video": rng.randn(t, img, img, 3).astype(np.float32),
+            "instruct": [{"from": "human", "value": "<video>\nWhat happens?"}],
+        },
+    ]
+    out = mm_infer_batch(samples, model, tok, choice=3, max_new_tokens=4)
+    assert out[0][0] is None and len(out[0][1]["pred_masks"]) == 1
+    assert isinstance(out[1][0], str) and out[1][1]["output"] is not None

@@ -550,10 +550,14 @@ def mm_infer_batch(
     ``frame`` (region prompts), ``images_sam`` ([Ts, 1024, 1024, 3], same Ts
     across seg samples), ``label_size``. Beyond-reference addition: the
     reference has no batched inference (eval drivers run bs=1,
-    inference_PixRQA.py:221); contract per sample matches ``mm_infer``
-    path A.
+    inference_PixRQA.py:221); contract per sample matches ``mm_infer``.
+    Samples WITHOUT an input [SEG] take path A (batched generate +
+    post-hoc extraction); samples WITH an input [SEG] (MeViS-style seg
+    evals, choice=3) take path B — one batched forward over that subset
+    with offset-corrected [SEG] hidden states and batched propagation.
 
-    Returns a list of (output_text, out_dict) per sample.
+    Returns a list aligned with ``samples``: (output_text, out_dict) for
+    path A, (None, out_dict with gt_masks) for path B.
     """
     cfg = model.cfg
     modal_token = {
@@ -565,12 +569,11 @@ def mm_infer_batch(
         _assemble_input_ids(s["instruct"], choice, modal_token, tokenizer)
         for s in samples
     ]
-    for ids in ids_list:
-        if model.ids.seg in ids:
-            raise NotImplementedError(
-                "mm_infer_batch covers path A (no [SEG] in the input); "
-                "use mm_infer for input-[SEG] seg evals"
-            )
+    # partition: path A (no [SEG] in the input — generate) vs path B
+    # ([SEG] in the input — single batched forward, offset-corrected
+    # extraction; the MeViS-style seg evals, videorefer_qwen2.py:461-518)
+    idx_a = [i for i, ids in enumerate(ids_list) if model.ids.seg not in ids]
+    idx_b = [i for i in range(b) if i not in idx_a]
 
     # batched vision encode
     video_feats = None
@@ -625,70 +628,150 @@ def mm_infer_batch(
         for s in (kwargs.get("stop_strings") or [])
     )
     do_sample = bool(kwargs.get("do_sample", False))
-    results = model.generate_batch(
-        ids_list, video_feats, region_feats, region_counts_list,
-        max_new_tokens=int(kwargs.get("max_new_tokens", 1024)),
-        do_sample=do_sample,
-        temperature=float(
-            kwargs.get("temperature", 0.2 if do_sample else 0.0) or 1.0
-        ),
-        top_p=float(kwargs.get("top_p", 0.9)),
-        stop_sequences=stop_sequences,
-    )[0]
+    def rows(x, idx):
+        return None if x is None else x[jnp.asarray(idx)]
 
-    # [SEG] extraction (path A semantics, one object per sample) — all seg
-    # samples propagate together in one scan
-    seg_rows, seg_embeds, seg_images = [], [], []
-    for i, (tokens, hidden) in enumerate(results):
-        steps = [j for j, t in enumerate(tokens) if t == model.ids.seg]
-        if steps and samples[i].get("images_sam") is not None:
-            if len(steps) > 1:
-                continue  # multi-object samples fall back below
-            seg_rows.append(i)
-            seg_embeds.append(
-                model._seg_embed(model.params, hidden[jnp.asarray(steps)])[0]
-            )
-            seg_images.append(np.asarray(samples[i]["images_sam"]))
+    def default_hw(i):
+        return tuple(
+            samples[i].get("label_size")
+            or (cfg.sam.hiera.image_size, cfg.sam.hiera.image_size)
+        )
 
-    masks_by_row: Dict[int, List[np.ndarray]] = {}
-    if seg_rows:
-        hw = [
-            tuple(
-                samples[i].get("label_size")
-                or (cfg.sam.hiera.image_size, cfg.sam.hiera.image_size)
-            )
-            for i in seg_rows
-        ]
-        if len(set(hw)) == 1 and len({im.shape for im in seg_images}) == 1:
+    def propagate_group(rows_idx, embeds_list, images_list):
+        """One-object-per-sample propagation: batched scan when shapes are
+        homogeneous, per-sample otherwise. Returns {global row: [mask]}."""
+        got: Dict[int, List[np.ndarray]] = {}
+        if not rows_idx:
+            return got
+        hw = [default_hw(i) for i in rows_idx]
+        if len(set(hw)) == 1 and len({im.shape for im in images_list}) == 1:
             m = model.segment_videos_batched(
-                np.stack(seg_images), jnp.stack(seg_embeds), *hw[0]
+                np.stack(images_list), jnp.stack(embeds_list), *hw[0]
             )
-            for r, i in enumerate(seg_rows):
-                masks_by_row[i] = [m[r]]
+            for r, i in enumerate(rows_idx):
+                got[i] = [m[r]]
         else:
-            for r, i in enumerate(seg_rows):
+            for r, i in enumerate(rows_idx):
                 m = model.segment_video(
-                    seg_images[r], seg_embeds[r][None], *hw[r]
+                    images_list[r], embeds_list[r][None], *hw[r]
                 )
-                masks_by_row[i] = [m[0]]
+                got[i] = [m[0]]
+        return got
 
-    out = []
-    for i, (tokens, hidden) in enumerate(results):
-        pred_masks = masks_by_row.get(i, [])
-        if not pred_masks:
-            # multi-[SEG] fallback: per-sample propagation (objects batch)
+    out: List[Any] = [None] * b
+
+    # ---- PATH A subset: batched generate + post-hoc [SEG] ----
+    if idx_a:
+        results = model.generate_batch(
+            [ids_list[i] for i in idx_a],
+            rows(video_feats, idx_a),
+            rows(region_feats, idx_a),
+            (
+                [region_counts_list[i] for i in idx_a]
+                if region_counts_list is not None else None
+            ),
+            max_new_tokens=int(kwargs.get("max_new_tokens", 1024)),
+            do_sample=do_sample,
+            temperature=float(
+                kwargs.get("temperature", 0.2 if do_sample else 0.0) or 1.0
+            ),
+            top_p=float(kwargs.get("top_p", 0.9)),
+            stop_sequences=stop_sequences,
+        )[0]
+
+        # single-[SEG] samples propagate together in one scan
+        seg_rows, seg_embeds, seg_images = [], [], []
+        for k, (tokens, hidden) in enumerate(results):
+            i = idx_a[k]
             steps = [j for j, t in enumerate(tokens) if t == model.ids.seg]
-            if len(steps) > 1 and samples[i].get("images_sam") is not None:
-                embeds = model._seg_embed(
-                    model.params, hidden[jnp.asarray(steps)]
+            if steps and samples[i].get("images_sam") is not None:
+                if len(steps) > 1:
+                    continue  # multi-object samples fall back below
+                seg_rows.append(i)
+                seg_embeds.append(
+                    model._seg_embed(
+                        model.params, hidden[jnp.asarray(steps)]
+                    )[0]
                 )
-                h, w = samples[i].get("label_size") or (
-                    cfg.sam.hiera.image_size, cfg.sam.hiera.image_size
-                )
-                m = model.segment_video(
-                    np.asarray(samples[i]["images_sam"]), embeds, h, w
-                )
-                pred_masks = [m[j] for j in range(m.shape[0])]
-        text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
-        out.append((text, {"output": tokens, "pred_masks": pred_masks}))
+                seg_images.append(np.asarray(samples[i]["images_sam"]))
+        masks_by_row = propagate_group(seg_rows, seg_embeds, seg_images)
+
+        for k, (tokens, hidden) in enumerate(results):
+            i = idx_a[k]
+            pred_masks = masks_by_row.get(i, [])
+            if not pred_masks:
+                # multi-[SEG] fallback: per-sample propagation (objects batch)
+                steps = [
+                    j for j, t in enumerate(tokens) if t == model.ids.seg
+                ]
+                if (
+                    len(steps) > 1
+                    and samples[i].get("images_sam") is not None
+                ):
+                    embeds = model._seg_embed(
+                        model.params, hidden[jnp.asarray(steps)]
+                    )
+                    h, w = default_hw(i)
+                    m = model.segment_video(
+                        np.asarray(samples[i]["images_sam"]), embeds, h, w
+                    )
+                    pred_masks = [m[j] for j in range(m.shape[0])]
+            text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
+            out[i] = (text, {"output": tokens, "pred_masks": pred_masks})
+
+    # ---- PATH B subset ([SEG] in the input, videorefer_qwen2.py:461-518):
+    # ONE batched forward over the subset, offset-corrected [SEG] hidden
+    # states, batched propagation ----
+    if idx_b:
+        plan = plan_splice(
+            [ids_list[i] for i in idx_b],
+            num_video_tokens=(
+                video_feats.shape[1] if video_feats is not None else 0
+            ),
+            region_token_counts=[
+                (region_counts_list[i] if region_counts_list else []) or []
+                for i in idx_b
+            ],
+            region_token_id=model.ids.region,
+            max_seq_len=cfg.budget.max_seq_len,
+            region_stride=cfg.region.region_token_num,
+        )
+        hidden = model.forward_hidden_states(
+            plan, rows(video_feats, idx_b), rows(region_feats, idx_b)
+        )
+        seg_rows, seg_embeds, seg_images = [], [], []
+        multi: Dict[int, Any] = {}
+        for k, i in enumerate(idx_b):
+            # hidden state at the position BEFORE each input [SEG] token
+            # (left-shifted seg mask, videorefer_qwen2.py:470-476)
+            positions = [
+                int(plan.text_pos_map[k][ti]) - 1
+                for ti, t in enumerate(ids_list[i])
+                if t == model.ids.seg
+            ]
+            positions = [p for p in positions if p >= 0]
+            if not positions or samples[i].get("images_sam") is None:
+                continue
+            embeds = model._seg_embed(
+                model.params, hidden[k, jnp.asarray(positions)]
+            )
+            if len(positions) == 1:
+                seg_rows.append(i)
+                seg_embeds.append(embeds[0])
+                seg_images.append(np.asarray(samples[i]["images_sam"]))
+            else:
+                multi[i] = embeds
+        masks_by_row = propagate_group(seg_rows, seg_embeds, seg_images)
+        for i, embeds in multi.items():
+            h, w = default_hw(i)
+            m = model.segment_video(
+                np.asarray(samples[i]["images_sam"]), embeds, h, w
+            )
+            masks_by_row[i] = [m[j] for j in range(m.shape[0])]
+        for i in idx_b:
+            out[i] = (None, {
+                "output": None,
+                "pred_masks": masks_by_row.get(i, []),
+                "gt_masks": samples[i].get("masks"),
+            })
     return out

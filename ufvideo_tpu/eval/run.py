@@ -149,20 +149,58 @@ def run_benchmark(args, runtime=None) -> None:
         ds = SegReferBenchmark(args.video_folder, questions,
                                image_size=image_size,
                                sam_image_size=sam_image_size, **frames_kw)
-        for i in range(len(ds)):
-            try:
-                sample = ds[i]
-                conv = sample["line"]["conversations"]
-                out = mm_infer(
-                    sample["video"], conv, model, tokenizer, modal="video",
-                    choice=3, images_sam=sample.get("images_sam"),
-                    label_size=(sample["height"], sample["width"]), seg=True,
-                )
-                writer.write({"id": sample["id"], "video": sample["video_name"]})
-                if out.get("pred_masks"):
-                    save_mask_pngs(mask_dir, sample["id"], out["pred_masks"][0])
-            except Exception:
-                traceback.print_exc()
+
+        def emit_mevis(sample, out):
+            writer.write({"id": sample["id"], "video": sample["video_name"]})
+            if out.get("pred_masks"):
+                save_mask_pngs(mask_dir, sample["id"], out["pred_masks"][0])
+
+        def mevis_step(sample):
+            conv = sample["line"]["conversations"]
+            return mm_infer(
+                sample["video"], conv, model, tokenizer, modal="video",
+                choice=3, images_sam=sample.get("images_sam"),
+                label_size=(sample["height"], sample["width"]), seg=True,
+            )
+
+        # input-[SEG] seg eval (reference inference_video_Seg_MeVis.py:
+        # 258-271, path B) — batched through mm_infer_batch when --batch > 1
+        bs = max(1, getattr(args, "batch", 1))
+        idx = 0
+        while idx < len(ds):
+            group = []
+            for i in range(idx, min(idx + bs, len(ds))):
+                try:
+                    group.append(ds[i])
+                except Exception:
+                    traceback.print_exc()
+            idx += bs
+            if not group:
+                continue
+            if bs > 1 and len(group) > 1:
+                try:
+                    results = mm_infer_batch(
+                        [
+                            {
+                                "video": s["video"],
+                                "instruct": s["line"]["conversations"],
+                                "images_sam": s.get("images_sam"),
+                                "label_size": (s["height"], s["width"]),
+                            }
+                            for s in group
+                        ],
+                        model, tokenizer, modal="video", choice=3,
+                    )
+                    for s, (_, out) in zip(group, results):
+                        emit_mevis(s, out)
+                    continue
+                except Exception:
+                    traceback.print_exc()  # fall through to per-sample
+            for s in group:
+                try:
+                    emit_mevis(s, mevis_step(s))
+                except Exception:
+                    traceback.print_exc()
     else:
         raise ValueError(f"unknown benchmark {bench}")
     writer.close()
