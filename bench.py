@@ -344,32 +344,56 @@ def bench_e2e(
         max_seq_len=cfg.budget.max_seq_len,
     )
 
-    front = jax.jit(
-        lambda p, px, tids, kind, idx: model.splice_embeds(
-            p, tids, kind, idx, model.encode_video(p, px), None
-        )
-    )
     # length bucketing: the splice plan pads to the static max_seq_len
     # budget, but the true length is host-known — trim prefill and the kv
     # cache to the 256-rounded actual length (a 2.7k-token PixRQA prompt in
-    # a 4096 budget otherwise wastes ~33% of prefill and decode-read time)
+    # a 4096 budget otherwise wastes ~33% of prefill and decode-read time).
+    # The trim is fused into the front jit so the full-budget embeds are
+    # never materialized in HBM.
     real_len = int(max(plan.seq_lens))
     trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
 
+    front = jax.jit(
+        lambda p, px, tids, kind, idx: model.splice_embeds(
+            p, tids, kind, idx, model.encode_video(p, px), None
+        )[:, :trim]
+    )
+    # encoder compute is chunked at large batch: 16 videos' SigLIP (512
+    # frames) / Hiera (128 1024² frames) activations alongside the int8 LLM
+    # exhaust the 16 GB HBM in one dispatch; ≤8-video chunks match the
+    # known-good batch-8 configuration while prefill/decode stay batched
+    chunk = min(batch, 8)
+
     def run():
-        embeds = front(
-            params, pixels, jnp.asarray(plan.text_ids),
-            jnp.asarray(plan.src_kind), jnp.asarray(plan.src_idx),
-        )
+        tids = jnp.asarray(plan.text_ids)
+        kind = jnp.asarray(plan.src_kind)
+        idx = jnp.asarray(plan.src_idx)
+        embeds = jnp.concatenate([
+            front(
+                params, pixels[i : i + chunk], tids[i : i + chunk],
+                kind[i : i + chunk], idx[i : i + chunk],
+            )
+            for i in range(0, batch, chunk)
+        ]) if batch > chunk else front(params, pixels, tids, kind, idx)
         res = greedy_generate(
-            model.llm, params["llm"], embeds[:, :trim],
+            model.llm, params["llm"], embeds,
             jnp.asarray(plan.seq_lens),
             max_new_tokens=new_tokens, stop_ids=(-1,),
             cache_max_len=trim + new_tokens,
             kv_quant=kv_quant,
         )
         seg_embed = model.seg_embeddings(params, res.hidden[:, :1, :])
-        sfeats = encode_video_frames(sam, params["sam"], images_sam)
+        fchunk = chunk * sam_frames
+        if batch > chunk:
+            parts = [
+                encode_video_frames(sam, params["sam"], images_sam[i : i + fchunk])
+                for i in range(0, batch * sam_frames, fchunk)
+            ]
+            sfeats = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs), *parts
+            )
+        else:
+            sfeats = encode_video_frames(sam, params["sam"], images_sam)
         acc = jnp.sum(res.tokens).astype(jnp.float32)
         if batch == 1:
             low = propagate_video(
