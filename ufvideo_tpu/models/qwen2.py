@@ -156,9 +156,22 @@ class Qwen2DecoderLayer(nn.Module):
     # mesh[seq_axis] (ops/ring_attention.py); everything else in the layer is
     # token-local, so XLA shards it by propagation
     ring: Optional[Tuple] = None
+    # forward-term LoRA: (alpha/r scale, dropout rate). When a ``lora_layer``
+    # tree is passed to __call__, q/v get + scale·(drop(x)·A)·B — PEFT's
+    # exact train-time formulation incl. lora_dropout (reference
+    # train.py:829-841 rate 0.05). Serving/eval keep the parameter-space
+    # merge (train/lora.py apply_lora); this path exists because dropout on
+    # the adapter input has no parameter-space equivalent.
+    lora_term: Optional[Tuple[float, float]] = None
 
     @nn.compact
-    def __call__(self, carry: Tuple, cache_layer: Optional[Dict], mode: str):
+    def __call__(
+        self,
+        carry: Tuple,
+        cache_layer: Optional[Dict],
+        lora_layer: Optional[Dict],
+        mode: str,
+    ):
         cfg = self.cfg
         x, cos, sin, seq_lens, cache_len = carry
         b, s, _ = x.shape
@@ -187,6 +200,23 @@ class Qwen2DecoderLayer(nn.Module):
         q = qkv[..., :nq].reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = qkv[..., nq : nq + nkv].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = qkv[..., nq + nkv :].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        if lora_layer is not None:
+            scale, rate = self.lora_term or (1.0, 0.0)
+            xr = h
+            if rate > 0.0 and mode == "train":
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - rate, h.shape
+                )
+                xr = jnp.where(keep, h / (1.0 - rate), 0.0).astype(h.dtype)
+            xf = xr.astype(jnp.float32)
+            dq = (xf @ lora_layer["q"]["a"]) @ lora_layer["q"]["b"]
+            dv = (xf @ lora_layer["v"]["a"]) @ lora_layer["v"]["b"]
+            q = q + (scale * dq).astype(q.dtype).reshape(
+                b, s, cfg.num_heads, cfg.head_dim
+            )
+            v = v + (scale * dv).astype(v.dtype).reshape(
+                b, s, cfg.num_kv_heads, cfg.head_dim
+            )
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -282,6 +312,7 @@ class Qwen2LM(nn.Module):
     param_dtype: Any = jnp.bfloat16
     quant: Any = False  # False | True/'int8' | 'int4' (ufvideo_tpu.quant)
     ring: Optional[Tuple] = None  # (mesh, seq_axis, batch_axis) — see layer
+    lora_term: Optional[Tuple[float, float]] = None  # (scale, dropout) — see layer
 
     def setup(self):
         cfg = self.cfg
@@ -311,28 +342,29 @@ class Qwen2LM(nn.Module):
             # saved (policy) so the MXU work is not redone
             layer_cls = nn.remat(
                 layer_cls,
-                static_argnums=(3,),  # mode (index incl. module self)
+                static_argnums=(4,),  # mode (index incl. module self)
                 policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
             )
         self.layers = nn.scan(
             layer_cls,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(0, nn.broadcast),
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, 0, nn.broadcast),  # (cache, lora, mode)
             out_axes=0,
             length=cfg.num_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
         )(cfg, self.dtype, self.param_dtype, self.quant, self.ring,
-          name="layers")
+          self.lora_term, name="layers")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(jnp.maximum(input_ids, 0))
 
-    def _run_layers(self, x, positions, seq_lens, cache, cache_len, mode):
+    def _run_layers(self, x, positions, seq_lens, cache, cache_len, mode,
+                    lora=None):
         cfg = self.cfg
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
         carry = (x, cos, sin, seq_lens, cache_len)
-        carry, new_cache = self.layers(carry, cache, mode)
+        carry, new_cache = self.layers(carry, cache, lora, mode)
         return self.norm(carry[0]), new_cache
 
     def backbone(
@@ -343,6 +375,7 @@ class Qwen2LM(nn.Module):
         cache: Optional[Dict] = None,  # layer-stacked kv cache
         cache_len: Optional[jnp.ndarray] = None,  # [B] for decode
         mode: str = "train",
+        lora: Optional[Dict] = None,  # layer-stacked LoRA factors (see layer)
     ):
         """Returns (final hidden states [B, S, hidden], new cache or None)."""
         b, s, _ = input_embeds.shape
@@ -351,7 +384,9 @@ class Qwen2LM(nn.Module):
         if cache_len is None:
             cache_len = jnp.zeros((b,), jnp.int32)
         x = input_embeds.astype(self.dtype)
-        return self._run_layers(x, positions, seq_lens, cache, cache_len, mode)
+        return self._run_layers(
+            x, positions, seq_lens, cache, cache_len, mode, lora
+        )
 
     def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         return self.lm_head(hidden)

@@ -56,16 +56,19 @@ class UFVideoModel:
     through explicit pure functions so prefill/decode/training can compose
     them freely under jit."""
 
-    def __init__(self, cfg: UFVideoConfig, ring=None):
+    def __init__(self, cfg: UFVideoConfig, ring=None, lora_term=None):
         """``ring``: optional (mesh, seq_axis, batch_axis) enabling
-        sequence-parallel (ring) attention in the LLM's train path."""
+        sequence-parallel (ring) attention in the LLM's train path.
+        ``lora_term``: optional (scale, dropout) enabling forward-term LoRA
+        in the LLM (train/lora.py; needed for PEFT-exact lora_dropout)."""
         self.cfg = cfg
         dt, pt = cfg.compute_dtype, cfg.param_dtype
         self.vision = SiglipVisionTower(cfg.vision, dtype=dt, param_dtype=pt)
         self.projector = build_projector(cfg.projector, dtype=dt, param_dtype=pt)
         self.region = RegionProjector(cfg.region, dtype=dt, param_dtype=pt)
         self.llm = Qwen2LM(
-            cfg.llm, dtype=dt, param_dtype=pt, quant=cfg.quant_llm, ring=ring
+            cfg.llm, dtype=dt, param_dtype=pt, quant=cfg.quant_llm, ring=ring,
+            lora_term=lora_term,
         )
         self.text_fcs = TextHiddenFC(
             cfg.llm.hidden_size, cfg.sam_out_dim, dtype=dt, param_dtype=pt

@@ -15,9 +15,12 @@ parameter add; autodiff routes gradients to A/B only because the base
 params enter as a non-differentiated argument. This keeps one compiled
 model for full finetune, LoRA finetune, and inference-after-merge.
 
-Deviation: PEFT's lora_dropout (input dropout on the adapter branch,
-reference default 0.05) is regularization-only and has no parameter-space
-equivalent; it is not applied.
+lora_dropout (input dropout on the adapter branch, reference rate 0.05)
+has no parameter-space equivalent, so a ``dropout > 0`` config trains
+PEFT's exact forward-term formulation instead — q/v +=
+scale·(dropout(x)·A)·B inside the decoder layers (Qwen2LM ``lora_term``) —
+while eval/serving always use the parameter-space merge. ``dropout == 0``
+keeps the merged-parameter train step (identical code path to serving).
 
 Checkpoints are written in the PEFT on-disk format (adapter_config.json +
 adapter_model.bin + non_lora_trainables.bin) so
@@ -48,7 +51,7 @@ NON_LORA_TRAINABLE = ("projector", "region", "text_fcs")
 class LoRAConfig:
     r: int = 8
     alpha: float = 16.0
-    dropout: float = 0.05  # recorded in adapter_config.json; see module note
+    dropout: float = 0.05  # reference train.py:829-841; >0 → forward-term step
 
     @property
     def scale(self) -> float:
@@ -123,9 +126,18 @@ def merge_for_eval(
 
 
 def make_lora_train_step(model, optimizer, mesh, lcfg: LoRAConfig,
-                         loss_fn=None):
+                         loss_fn=None, dropout_rng=None):
     """(init, step, shard_state) like make_train_step, but the optimizer
-    only sees {lora, non_lora}; the base tree rides along frozen."""
+    only sees {lora, non_lora}; the base tree rides along frozen.
+
+    With ``lcfg.dropout == 0`` the step trains through the parameter-space
+    merge (unchanged model, one compiled graph for finetune and serving).
+    With ``lcfg.dropout > 0`` it trains PEFT's exact forward-term
+    formulation — q/v += scale·(dropout(x)·A)·B (reference train.py:829-841
+    rate 0.05) — via a model instance built with ``lora_term``; the
+    parameter-space merge remains the eval/serving path either way.
+    ``loss_fn`` must accept (model, params, batch[, lora, dropout_rng]) —
+    both shipped loss fns do."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.partition import DEFAULT_RULES, shardings_for
@@ -134,6 +146,13 @@ def make_lora_train_step(model, optimizer, mesh, lcfg: LoRAConfig,
 
     cfg = model.cfg
     loss_fn = loss_fn or language_model_loss_fn
+    if lcfg.dropout > 0.0:
+        from ..models.ufvideo import UFVideoModel
+
+        model = UFVideoModel(cfg, lora_term=(lcfg.scale, lcfg.dropout))
+        dropout_rng = (
+            jax.random.PRNGKey(0) if dropout_rng is None else dropout_rng
+        )
 
     def init(rng, params):
         base, non_lora = split_trainable(params)
@@ -151,6 +170,16 @@ def make_lora_train_step(model, optimizer, mesh, lcfg: LoRAConfig,
 
     def step(state, batch: Batch):
         def loss_of(trainable):
+            if lcfg.dropout > 0.0:
+                # forward-term: base params unmodified; adapter branch with
+                # per-step dropout inside the layers
+                p = dict(state["base"])
+                p.update(trainable["non_lora"])
+                rng = jax.random.fold_in(dropout_rng, state["step"])
+                return loss_fn(
+                    model, p, batch,
+                    lora=trainable["lora"], dropout_rng=rng,
+                )
             p = merge_for_eval(state["base"], trainable, cfg, lcfg)
             return loss_fn(model, p, batch)
 

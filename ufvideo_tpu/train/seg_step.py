@@ -65,6 +65,8 @@ def segmentation_loss_fn(
     sam: SAM2,
     params,
     batch: SegBatch,
+    lora=None,
+    dropout_rng=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     cfg: UFVideoConfig = model.cfg
     b = batch.pixels.shape[0]
@@ -85,9 +87,10 @@ def segmentation_loss_fn(
     )
     s = embeds.shape[1]
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     hidden, _ = model.llm.apply(
         {"params": params["llm"]}, embeds, positions, batch.seq_lens,
-        None, None, "train", method=Qwen2LM.backbone,
+        None, None, "train", lora, method=Qwen2LM.backbone, rngs=rngs,
     )
     logits = model.llm.apply(
         {"params": params["llm"]}, hidden, method=Qwen2LM.logits
@@ -150,7 +153,7 @@ def segmentation_loss_fn(
 def make_seg_loss_fn(sam: SAM2):
     """Adapter matching make_train_step's loss_fn signature."""
 
-    def fn(model: UFVideoModel, params, batch: SegBatch):
-        return segmentation_loss_fn(model, sam, params, batch)
+    def fn(model: UFVideoModel, params, batch: SegBatch, **kw):
+        return segmentation_loss_fn(model, sam, params, batch, **kw)
 
     return fn

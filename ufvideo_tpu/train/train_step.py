@@ -118,11 +118,14 @@ class Batch(NamedTuple):
 
 
 def language_model_loss_fn(
-    model: UFVideoModel, params, batch: Batch
+    model: UFVideoModel, params, batch: Batch,
+    lora=None, dropout_rng=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """CE portion of the reference loss (videorefer_qwen2.py:199-214).
     The SAM2 mask losses are added by the segmentation train step once the
-    mask decoder is attached."""
+    mask decoder is attached. ``lora``/``dropout_rng``: forward-term LoRA
+    factors + rng for lora_dropout (train/lora.py; requires a model built
+    with ``lora_term``)."""
     cfg = model.cfg
     video_feats = model.encode_video(params, batch.pixels)
     embeds = model.splice_embeds(
@@ -130,9 +133,10 @@ def language_model_loss_fn(
     )
     b, s, _ = embeds.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     hidden, _ = model.llm.apply(
         {"params": params["llm"]}, embeds, positions, batch.seq_lens,
-        None, None, "train", method=Qwen2LM.backbone,
+        None, None, "train", lora, method=Qwen2LM.backbone, rngs=rngs,
     )
     logits = model.llm.apply(
         {"params": params["llm"]}, hidden, method=Qwen2LM.logits
