@@ -56,3 +56,20 @@ def has_tpu() -> bool:
 requires_tpu = pytest.mark.skipif(
     not has_tpu(), reason="needs a TPU chip (set UFVIDEO_TEST_TPU=1)"
 )
+
+
+# ---- smoke tier (-m smoke): cheap-green subset, <2 min on a loaded host ----
+SMOKE_FILES = {
+    "test_conversation.py",
+    "test_rle.py",
+    "test_eval_metrics.py",
+    "test_parallel.py",
+    "test_seg_loss_resolution.py",
+    "test_splice.py",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SMOKE_FILES:
+            item.add_marker(pytest.mark.smoke)
