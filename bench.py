@@ -329,12 +329,21 @@ def bench_e2e(
         )
     )
 
+    # at batch > 8 the raw inputs (450 MB pixels + 768 MB SAM frames at 16)
+    # stay on the HOST and stream to the device per encode chunk — the
+    # serving configuration; transfer time is part of the measurement
+    stream_inputs = batch > 8
     pixels = jax.random.normal(
         jax.random.PRNGKey(2), (batch, num_frames, 384, 384, 3), jnp.bfloat16
     )
     images_sam = jax.random.normal(
         jax.random.PRNGKey(3), (batch * sam_frames, 1024, 1024, 3), jnp.bfloat16
     )
+    if stream_inputs:
+        import numpy as _np
+
+        pixels = _np.asarray(pixels)
+        images_sam = _np.asarray(images_sam)
     prompt = [151644, 872, 198, VIDEO_TOKEN_INDEX] + list(range(100, 140)) + [151645]
     plan = plan_splice(
         [prompt] * batch,
@@ -360,9 +369,10 @@ def bench_e2e(
     )
     # encoder compute is chunked at large batch: 16 videos' SigLIP (512
     # frames) / Hiera (128 1024² frames) activations alongside the int8 LLM
-    # exhaust the 16 GB HBM in one dispatch; ≤8-video chunks match the
-    # known-good batch-8 configuration while prefill/decode stay batched
-    chunk = min(batch, 8)
+    # exhaust the 16 GB HBM in one dispatch; ≤4-video chunks keep the
+    # transient encoder activations bounded while prefill/decode stay
+    # batched across all videos
+    chunk = min(batch, 8 if batch <= 8 else 4)
 
     def run():
         tids = jnp.asarray(plan.text_ids)
@@ -370,7 +380,8 @@ def bench_e2e(
         idx = jnp.asarray(plan.src_idx)
         embeds = jnp.concatenate([
             front(
-                params, pixels[i : i + chunk], tids[i : i + chunk],
+                params, jnp.asarray(pixels[i : i + chunk]),
+                tids[i : i + chunk],
                 kind[i : i + chunk], idx[i : i + chunk],
             )
             for i in range(0, batch, chunk)
@@ -386,7 +397,9 @@ def bench_e2e(
         fchunk = chunk * sam_frames
         if batch > chunk:
             parts = [
-                encode_video_frames(sam, params["sam"], images_sam[i : i + fchunk])
+                encode_video_frames(
+                    sam, params["sam"], jnp.asarray(images_sam[i : i + fchunk])
+                )
                 for i in range(0, batch * sam_frames, fchunk)
             ]
             sfeats = jax.tree.map(

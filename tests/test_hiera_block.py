@@ -114,3 +114,74 @@ def test_kernel_on_chip_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=0.05, rtol=0.05,
     )
+
+
+def test_fused_ln_matmul_interpret():
+    from ufvideo_tpu.ops.hiera_block import (
+        _ln_matmul_reference, fused_ln_matmul,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 64, 96).astype("f") * 0.1)
+    ln_s = jnp.asarray(rng.randn(96).astype("f") * 0.1 + 1)
+    ln_b = jnp.asarray(rng.randn(96).astype("f") * 0.1)
+    w = jnp.asarray(rng.randn(96, 192).astype("f") * 0.05)
+    b = jnp.asarray(rng.randn(192).astype("f") * 0.05)
+    got = fused_ln_matmul(x, ln_s, ln_b, w, b, True)
+    want = _ln_matmul_reference(x, ln_s, ln_b, w, b, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # differentiable (XLA-reference VJP)
+    g = jax.grad(lambda xx: fused_ln_matmul(xx, ln_s, ln_b, w, b, True).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_block_tail_interpret():
+    from ufvideo_tpu.ops.hiera_block import _tail_reference, fused_block_tail
+
+    rng = np.random.RandomState(1)
+    n, s, c, a, m = 8, 64, 96, 128, 192
+    shortcut = jnp.asarray(rng.randn(n, s, c).astype("f") * 0.1)
+    att = jnp.asarray(rng.randn(n, s, a).astype("f") * 0.1)
+    params = tuple(
+        jnp.asarray(v.astype("f"))
+        for v in (
+            rng.randn(a, c) * 0.05, rng.randn(c) * 0.05,
+            rng.randn(c) * 0.1 + 1, rng.randn(c) * 0.1,
+            rng.randn(c, m) * 0.05, rng.randn(m) * 0.05,
+            rng.randn(m, c) * 0.05, rng.randn(c) * 0.05,
+        )
+    )
+    got = fused_block_tail(shortcut, att, params, True)
+    want = _tail_reference(shortcut, att, params, "gelu_exact", 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_qpool_and_global_blocks_interpret_match_generic():
+    """The partial-fused q-pool/global block path == the generic unfused
+    module math (same params, interpret-mode kernels)."""
+    import flax.linen as nn_
+
+    from ufvideo_tpu.models.sam2.hiera import MultiScaleBlock
+
+    rng = np.random.RandomState(2)
+    # q-pool block: dim 32 -> 64, window 8, stride 2
+    blk = MultiScaleBlock(
+        dim=32, dim_out=64, num_heads=2, q_stride=(2, 2), window_side=8,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.randn(4, 64, 32).astype("f") * 0.1)
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+    out = blk.apply({"params": params}, x)
+    assert out.shape == (4, 16, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # global block: dim == dim_out, window_side 0
+    gblk = MultiScaleBlock(
+        dim=32, dim_out=32, num_heads=2, window_side=0,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    gx = jnp.asarray(rng.randn(2, 128, 32).astype("f") * 0.1)
+    gparams = gblk.init(jax.random.PRNGKey(1), gx)["params"]
+    gout = gblk.apply({"params": gparams}, gx)
+    assert gout.shape == gx.shape
+    assert np.isfinite(np.asarray(gout)).all()

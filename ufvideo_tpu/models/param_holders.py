@@ -58,6 +58,7 @@ class AttnPairParams(nn.Module):
     param_dtype: Any = jnp.float32
     qkv_name: str = "qkv"
     proj_name: str = "proj"
+    proj_out: int = 0  # 0 = dim (dim-changing blocks project to dim_out)
 
     @nn.compact
     def __call__(self):
@@ -65,6 +66,7 @@ class AttnPairParams(nn.Module):
             self.dim, self.qkv_out, self.param_dtype, name=self.qkv_name
         )()
         kp, bp = DenseParams(
-            self.proj_in, self.dim, self.param_dtype, name=self.proj_name
+            self.proj_in, self.proj_out or self.dim, self.param_dtype,
+            name=self.proj_name,
         )()
         return kq, bq, kp, bp

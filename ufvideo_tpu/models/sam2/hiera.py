@@ -40,7 +40,11 @@ import jax.numpy as jnp
 
 from ...configs import SAM2Config, SAM2HieraConfig
 from ...ops.attention import attention, window_dense_attention
-from ...ops.hiera_block import fused_hiera_block
+from ...ops.hiera_block import (
+    fused_block_tail,
+    fused_hiera_block,
+    fused_ln_matmul,
+)
 from ..param_holders import (
     AttnPairParams as _AttnP,
     DenseParams as _DenseP,
@@ -189,6 +193,77 @@ class MultiScaleBlock(nn.Module):
                 x.astype(self.dtype),
                 (ln1_s, ln1_b, wq, bq, wp, bp, ln2_s, ln2_b, w1, b1, w2, b2),
                 self.num_heads, hd, self.head_pad,
+            )
+
+        if self.q_stride is not None or self.window_side == 0:
+            # q-pooling / global blocks (6 of Hiera-L's 48): the attention
+            # stays in XLA / the flash kernel, but the LN1→qkv(+shortcut
+            # proj) front and the proj→residual→LN2→MLP tail run as single
+            # fused passes (ops/hiera_block.py fused_ln_matmul /
+            # fused_block_tail) — 7 HBM round-trips become 3
+            hd = self.dim_out // self.num_heads
+            hp = self.head_pad or hd
+            hw = self.num_heads * hp
+            scale = hd ** -0.5
+            ln1_s, ln1_b = _LNP(self.dim, self.param_dtype, name="norm1")()
+            wq, bq, wp, bp = _AttnP(
+                self.dim, 3 * hw, hw, self.param_dtype,
+                proj_out=self.dim_out, name="attn",
+            )()
+            ln2_s, ln2_b = _LNP(self.dim_out, self.param_dtype, name="norm2")()
+            w1, b1 = _DenseP(
+                self.dim_out, hidden, self.param_dtype, name="mlp_layers_0"
+            )()
+            w2, b2 = _DenseP(
+                hidden, self.dim_out, self.param_dtype, name="mlp_layers_1"
+            )()
+            wfront, bfront = wq, bq
+            if self.dim != self.dim_out:
+                # the dim-change shortcut projection reads the same LN1
+                # output — fold it into the front matmul's output columns
+                wsc, bsc = _DenseP(
+                    self.dim, self.dim_out, self.param_dtype, name="proj"
+                )()
+                wfront = jnp.concatenate(
+                    [wq.astype(self.dtype), wsc.astype(self.dtype)], axis=1
+                )
+                bfront = jnp.concatenate([bq, bsc])
+            front = fused_ln_matmul(
+                x.astype(self.dtype), ln1_s, ln1_b, wfront, bfront
+            )
+            qkv = front[..., : 3 * hw]
+            n, s, _ = qkv.shape
+
+            shortcut = x.astype(self.dtype)
+            if self.q_stride is not None:
+                sy, sx = self.q_stride
+                ws = self.window_side
+                sq = (ws // sy) * (ws // sx)
+                if self.dim != self.dim_out:
+                    sc = front[..., 3 * hw :].reshape(n, ws, ws, self.dim_out)
+                else:
+                    sc = shortcut.reshape(n, ws, ws, self.dim)
+                shortcut = nn.max_pool(
+                    sc, window_shape=(sy, sx), strides=(sy, sx)
+                ).reshape(n, sq, self.dim_out)
+                q = qkv[..., :hw].reshape(n, ws, ws, hw)
+                q = nn.max_pool(q, window_shape=(sy, sx), strides=(sy, sx))
+                q = q.reshape(n, sq, self.num_heads, hp)
+                k = qkv[..., hw : 2 * hw].reshape(n, s, self.num_heads, hp)
+                v = qkv[..., 2 * hw :].reshape(n, s, self.num_heads, hp)
+                o = window_dense_attention(q, k, v, scale=scale)
+                o = o.reshape(n, sq, hw)
+            else:  # global block
+                if self.dim != self.dim_out:
+                    shortcut = front[..., 3 * hw :]
+                parts = qkv.reshape(n, s, 3, self.num_heads, hp)
+                o = attention(
+                    parts[:, :, 0], parts[:, :, 1], parts[:, :, 2],
+                    scale=scale,
+                )
+                o = o.reshape(n, s, hw)
+            return fused_block_tail(
+                shortcut, o, (wp, bp, ln2_s, ln2_b, w1, b1, w2, b2)
             )
 
         ln = lambda name: nn.LayerNorm(

@@ -76,12 +76,13 @@ def _kernel(
     x_ref,  # [bw, S, C]
     ln1_s_ref, ln1_b_ref,  # [1, C] f32
     wqkv_ref, bqkv_ref,  # [C, 3*H*hp], [1, 3*H*hp]
-    wproj_ref, bproj_ref,  # [H*hp, C], [1, C]
+    wproj_ref, bproj_ref,  # [H*hs, C], [1, C]  (hs = 128-aligned slot w/ align_qkv)
     ln2_s_ref, ln2_b_ref,  # [1, C]
     w1_ref, b1_ref,  # [C, M], [1, M]
     w2_ref, b2_ref,  # [M, C], [1, C]
     o_ref,  # [bw, S, C]
-    att_ref,  # scratch [bw*S, H*hp]
+    att_ref,  # scratch [bw*S, H*hs]
+    qkv_ref,  # scratch [bw*S, 3*H*hs] (None unless align_qkv)
     *,
     num_heads: int,
     head_dim: int,
@@ -91,10 +92,18 @@ def _kernel(
     gw: int,
     act: str,
     eps: float,
+    gelu_bf16: bool,
+    align_qkv: bool,
 ):
     rows = bw * tokens
     hp = head_pad
+    # hs: lane stride of one head inside the attention scratches. With
+    # align_qkv every head occupies a 128-lane-aligned slot so the hot
+    # loop's q/k/v reads and att writes are tile-aligned (no vector
+    # shuffles); the zero lanes contribute nothing to either contraction.
+    hs = 128 if align_qkv else hp
     hw = num_heads * hp
+    hws = num_heads * hs
     scale = head_dim ** -0.5
     dtype = x_ref.dtype
 
@@ -111,6 +120,15 @@ def _kernel(
         )
         + bqkv_ref[0, :]
     ).astype(dtype)
+    if align_qkv:
+        # one shuffle pass per step: packed heads → 128-aligned slots.
+        # Full-slot stores (zero pad lanes) — scratch memory is otherwise
+        # uninitialized and the pad lanes enter the contractions.
+        zpad = jnp.zeros((rows, hs - hp), dtype)
+        for j in range(3 * num_heads):
+            qkv_ref[:, j * hs : (j + 1) * hs] = jnp.concatenate(
+                [qkv[:, j * hp : (j + 1) * hp], zpad], axis=1
+            )
 
     grows = gw * tokens
     if gw > 1:
@@ -120,12 +138,20 @@ def _kernel(
     for g in range(rows // grows):
         sl = slice(g * grows, (g + 1) * grows)
         for h in range(num_heads):
-            q = (
-                qkv[sl, h * hp : (h + 1) * hp].astype(jnp.float32)
-                * (scale * _LOG2E)
-            ).astype(dtype)
-            k = qkv[sl, hw + h * hp : hw + (h + 1) * hp]
-            v = qkv[sl, 2 * hw + h * hp : 2 * hw + (h + 1) * hp]
+            if align_qkv:
+                q = (
+                    qkv_ref[sl, h * hs : (h + 1) * hs].astype(jnp.float32)
+                    * (scale * _LOG2E)
+                ).astype(dtype)
+                k = qkv_ref[sl, hws + h * hs : hws + (h + 1) * hs]
+                v = qkv_ref[sl, 2 * hws + h * hs : 2 * hws + (h + 1) * hs]
+            else:
+                q = (
+                    qkv[sl, h * hp : (h + 1) * hp].astype(jnp.float32)
+                    * (scale * _LOG2E)
+                ).astype(dtype)
+                k = qkv[sl, hw + h * hp : hw + (h + 1) * hp]
+                v = qkv[sl, 2 * hw + h * hp : 2 * hw + (h + 1) * hp]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -140,7 +166,7 @@ def _kernel(
                 p, v, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
             ) / denom
-            att_ref[sl, h * hp : (h + 1) * hp] = o.astype(dtype)
+            att_ref[sl, h * hs : (h + 1) * hs] = o.astype(dtype)
 
     att = (
         jax.lax.dot_general(
@@ -163,9 +189,13 @@ def _kernel(
         )
         + b1_ref[0, :]
     )
-    # exact GELU (reference nn.GELU default) on the f32 accumulator before
-    # the bf16 cast
-    hmid = _ACTS[act](hmid).astype(dtype)
+    # GELU: f32 by default; bf16 when requested (the reference runs
+    # nn.GELU under bf16 autocast, so bf16 is parity-faithful — the f32
+    # path is the stricter-than-reference default)
+    if gelu_bf16:
+        hmid = _ACTS[act](hmid.astype(dtype))
+    else:
+        hmid = _ACTS[act](hmid).astype(dtype)
     mlp = (
         jax.lax.dot_general(
             hmid, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -210,9 +240,15 @@ def _reference(x, params, num_heads, head_dim, head_pad, act="gelu_exact", eps=1
 
 
 def _pick_bw(num_windows: int, tokens: int, num_heads: int):
-    """(bw, gw): ~128-row score groups, ~1024 rows per grid step, capped at
-    64 unrolled attention dot-pairs per step (compile-time/issue budget)."""
-    gw = max(1, 128 // tokens)
+    """(bw, gw): ~GROUP_ROWS-row score groups (default 128), ~1024 rows per
+    grid step, capped at 64 unrolled attention dot-pairs per step
+    (compile-time/issue budget). UFVIDEO_HIERA_GROUP_ROWS widens the score
+    groups for tiny windows (more masked-FLOP waste on the score dots —
+    ~7% of block FLOPs — against fewer, larger MXU invocations)."""
+    import os
+
+    group_rows = int(os.environ.get("UFVIDEO_HIERA_GROUP_ROWS", "128"))
+    gw = max(1, group_rows // tokens)
     while gw > 1 and num_windows % gw != 0:
         gw //= 2
     bw = gw
@@ -244,6 +280,8 @@ def fused_hiera_block(
 
 
 def _forward(x, params, num_heads, head_dim, head_pad, interpret, act="gelu_exact", eps=1e-6):
+    import os
+
     n, s, c = x.shape
     hp = head_pad or head_dim
     if not interpret and jax.default_backend() != "tpu":
@@ -252,9 +290,22 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret, act="gelu_exac
      b2) = params
     mlp_dim = w1.shape[1]
     bw, gw = _pick_bw(n, s, num_heads)
+    gelu_bf16 = os.environ.get("UFVIDEO_HIERA_GELU_BF16", "") == "1"
+    align_qkv = (
+        os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "") == "1" and hp % 128 != 0
+    )
+    hs = 128 if align_qkv else hp
+    if align_qkv:
+        # zero-row-pad each head's slice of wproj to its 128-lane slot so
+        # the aligned att scratch contracts directly (zero rows are inert)
+        wp = wproj.reshape(num_heads, hp, c)
+        wproj = jnp.concatenate(
+            [wp, jnp.zeros((num_heads, hs - hp, c), wproj.dtype)], axis=1
+        ).reshape(num_heads * hs, c)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, head_dim=head_dim, head_pad=hp,
         tokens=s, bw=bw, gw=gw, act=act, eps=eps,
+        gelu_bf16=gelu_bf16, align_qkv=align_qkv,
     )
     f32 = jnp.float32
 
@@ -276,7 +327,13 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret, act="gelu_exac
         ],
         out_specs=pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bw * s, num_heads * hp), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bw * s, num_heads * hs), x.dtype),
+            pltpu.VMEM(
+                (bw * s, 3 * num_heads * hs) if align_qkv else (8, 128),
+                x.dtype,
+            ),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
@@ -290,6 +347,241 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret, act="gelu_exac
         w1.astype(x.dtype), vec(b1, f32),
         w2.astype(x.dtype), vec(b2, f32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial fusions for the blocks the whole-block kernel cannot take
+# (q-pooling and global-attention blocks, 6 of Hiera-L's 48): the attention
+# stays outside (XLA pool + window attention / Pallas flash), but the
+# LN1→qkv front and the proj→residual→LN2→MLP tail each collapse into one
+# kernel — 7 HBM round-trips become 3.
+# ---------------------------------------------------------------------------
+
+
+def _ln_matmul_kernel(
+    x_ref,  # [bw, S, C]
+    ln_s_ref, ln_b_ref,  # [1, C] f32
+    w_ref, b_ref,  # [C, D], [1, D]
+    o_ref,  # [bw, S, D]
+    *,
+    eps: float,
+):
+    rows = x_ref.shape[0] * x_ref.shape[1]
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])
+    xn = _layernorm(
+        x.astype(jnp.float32), ln_s_ref[0, :], ln_b_ref[0, :], eps
+    ).astype(x_ref.dtype)
+    o = (
+        jax.lax.dot_general(
+            xn, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + b_ref[0, :]
+    ).astype(o_ref.dtype)
+    o_ref[...] = o.reshape(o_ref.shape)
+
+
+def _ln_matmul_reference(x, ln_s, ln_b, w, b, eps):
+    xn = _layernorm(x.astype(jnp.float32), ln_s, ln_b, eps).astype(x.dtype)
+    return (xn @ w.astype(x.dtype) + b).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_ln_matmul(
+    x: jnp.ndarray,  # [N, S, C]
+    ln_s, ln_b, w, b,
+    interpret: bool = False,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """LayerNorm + matmul in one pass (the LN1→qkv/proj front of a block).
+    Forward Pallas on TPU; VJP recomputes through the XLA reference (SAM2's
+    image encoder is frozen in reference training, so the backward is cold
+    path)."""
+    return _ln_matmul_forward(x, ln_s, ln_b, w, b, interpret, eps)
+
+
+def _ln_matmul_fwd(x, ln_s, ln_b, w, b, interpret, eps):
+    return (
+        fused_ln_matmul(x, ln_s, ln_b, w, b, interpret, eps),
+        (x, ln_s, ln_b, w, b),
+    )
+
+
+def _ln_matmul_bwd(interpret, eps, res, g):
+    x, ln_s, ln_b, w, b = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_matmul_reference(*a, eps), x, ln_s, ln_b, w, b
+    )
+    return vjp(g)
+
+
+def _ln_matmul_forward(x, ln_s, ln_b, w, b, interpret, eps):
+    n, s, c = x.shape
+    d = w.shape[1]
+    if not interpret and jax.default_backend() != "tpu":
+        return _ln_matmul_reference(x, ln_s, ln_b, w, b, eps)
+    bw = 1
+    while bw * 2 * s <= 1024 and n % (bw * 2) == 0:
+        bw *= 2
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    f32 = jnp.float32
+    return pl.pallas_call(
+        functools.partial(_ln_matmul_kernel, eps=eps),
+        grid=(n // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
+            full((1, c)), full((1, c)),
+            full(w.shape), full((1, d)),
+        ],
+        out_specs=pl.BlockSpec((bw, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(
+        x,
+        ln_s.reshape(1, -1).astype(f32), ln_b.reshape(1, -1).astype(f32),
+        w.astype(x.dtype), b.reshape(1, -1).astype(f32),
+    )
+
+
+fused_ln_matmul.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
+
+
+def _tail_kernel(
+    sc_ref,  # [bw, S, C] shortcut (residual input)
+    att_ref,  # [bw, S, A] attention output (pre-proj)
+    wp_ref, bp_ref,  # [A, C], [1, C]
+    ln2_s_ref, ln2_b_ref,  # [1, C]
+    w1_ref, b1_ref,  # [C, M], [1, M]
+    w2_ref, b2_ref,  # [M, C], [1, C]
+    o_ref,  # [bw, S, C]
+    *,
+    act: str,
+    eps: float,
+    gelu_bf16: bool,
+):
+    rows = sc_ref.shape[0] * sc_ref.shape[1]
+    dtype = sc_ref.dtype
+    sc = sc_ref[...].reshape(rows, sc_ref.shape[-1])
+    att = att_ref[...].reshape(rows, att_ref.shape[-1])
+    x1 = sc + (
+        jax.lax.dot_general(
+            att, wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + bp_ref[0, :]
+    ).astype(dtype)
+    xm = _layernorm(
+        x1.astype(jnp.float32), ln2_s_ref[0, :], ln2_b_ref[0, :], eps
+    ).astype(dtype)
+    hmid = (
+        jax.lax.dot_general(
+            xm, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + b1_ref[0, :]
+    )
+    if gelu_bf16:
+        hmid = _ACTS[act](hmid.astype(dtype))
+    else:
+        hmid = _ACTS[act](hmid).astype(dtype)
+    mlp = (
+        jax.lax.dot_general(
+            hmid, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + b2_ref[0, :]
+    ).astype(dtype)
+    o_ref[...] = (x1 + mlp).reshape(o_ref.shape)
+
+
+def _tail_reference(shortcut, att, params, act, eps):
+    wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2 = params
+    dtype = shortcut.dtype
+    x1 = shortcut + (att @ wproj.astype(dtype) + bproj).astype(dtype)
+    xm = _layernorm(x1.astype(jnp.float32), ln2_s, ln2_b, eps).astype(dtype)
+    h = _ACTS[act]((xm @ w1.astype(dtype) + b1).astype(jnp.float32))
+    return x1 + (h.astype(dtype) @ w2.astype(dtype) + b2).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_block_tail(
+    shortcut: jnp.ndarray,  # [N, S, C]
+    att: jnp.ndarray,  # [N, S, A] pre-proj attention output
+    params: tuple,  # (wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2)
+    interpret: bool = False,
+    act: str = "gelu_exact",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """proj → +residual → LN2 → MLP → +residual in one pass (a block's tail
+    after externally-computed attention). Forward Pallas on TPU; VJP via
+    the XLA reference."""
+    return _tail_forward(shortcut, att, params, interpret, act, eps)
+
+
+def _tail_fwd(shortcut, att, params, interpret, act, eps):
+    return (
+        fused_block_tail(shortcut, att, params, interpret, act, eps),
+        (shortcut, att, params),
+    )
+
+
+def _tail_bwd(interpret, act, eps, res, g):
+    shortcut, att, params = res
+    _, vjp = jax.vjp(
+        lambda s_, a_, p_: _tail_reference(s_, a_, p_, act, eps),
+        shortcut, att, params,
+    )
+    return vjp(g)
+
+
+def _tail_forward(shortcut, att, params, interpret, act, eps):
+    import os
+
+    wproj, bproj, ln2_s, ln2_b, w1, b1, w2, b2 = params
+    n, s, c = shortcut.shape
+    a = att.shape[-1]
+    m = w1.shape[1]
+    if not interpret and jax.default_backend() != "tpu":
+        return _tail_reference(shortcut, att, params, act, eps)
+    gelu_bf16 = os.environ.get("UFVIDEO_HIERA_GELU_BF16", "") == "1"
+    bw = 1
+    while bw * 2 * s <= 1024 and n % (bw * 2) == 0:
+        bw *= 2
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    f32 = jnp.float32
+    vec = lambda x_: x_.reshape(1, -1).astype(f32)
+    return pl.pallas_call(
+        functools.partial(
+            _tail_kernel, act=act, eps=eps, gelu_bf16=gelu_bf16
+        ),
+        grid=(n // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bw, s, a), lambda i: (i, 0, 0)),
+            full(wproj.shape), full((1, c)),
+            full((1, c)), full((1, c)),
+            full(w1.shape), full((1, m)),
+            full(w2.shape), full((1, c)),
+        ],
+        out_specs=pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), shortcut.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(
+        shortcut, att,
+        wproj.astype(shortcut.dtype), vec(bproj),
+        vec(ln2_s), vec(ln2_b),
+        w1.astype(shortcut.dtype), vec(b1),
+        w2.astype(shortcut.dtype), vec(b2),
+    )
+
+
+fused_block_tail.defvjp(_tail_fwd, _tail_bwd)
 
 
 def _fwd(x, params, num_heads, head_dim, head_pad, interpret, act, eps):
