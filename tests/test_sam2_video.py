@@ -29,8 +29,7 @@ from test_sam2_parity import TINY as _TINY
 TINY = dataclasses.replace(_TINY, iou_head_hidden_dim=256)
 
 
-@pytest.fixture(scope="module")
-def oracle():
+def load_ref_module():
     import importlib.util
 
     import torch
@@ -38,11 +37,19 @@ def oracle():
     spec = importlib.util.spec_from_file_location("ref_sam2_video", REF)
     ref = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref)
-    torch.manual_seed(0)
 
     # CPU shim: the reference hard-codes .cuda() moves (sam2.py:3556,2913)
     torch.Tensor.cuda = lambda self, *a, **kw: self
+    return ref
 
+
+def build_predictor(ref, **overrides):
+    """Construct the tiny-config reference SAM2VideoPredictor with seeded
+    weights; overrides forward extra builder kwargs (e.g.
+    memory_temporal_stride_for_eval)."""
+    import torch
+
+    torch.manual_seed(0)
     h = TINY.hiera
     trunk = ref.Hiera(
         embed_dim=h.embed_dim, num_heads=h.num_heads, stages=h.stages,
@@ -118,8 +125,15 @@ def oracle():
             "dynamic_multimask_stability_delta": 0.05,
             "dynamic_multimask_stability_thresh": 0.98,
         },
+        **overrides,
     ).eval()
-    return ref, predictor
+    return predictor
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    ref = load_ref_module()
+    return ref, build_predictor(ref)
 
 
 def test_video_propagation_parity(oracle):
