@@ -402,8 +402,9 @@ def bench_e2e(
                 )
                 for i in range(0, batch * sam_frames, fchunk)
             ]
-            sfeats = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs), *parts
+            sfeats = type(parts[0])(
+                *(jnp.concatenate([p[i] for p in parts]) for i in range(3)),
+                parts[0].pos2,  # frame-invariant
             )
         else:
             sfeats = encode_video_frames(sam, params["sam"], images_sam)
@@ -415,8 +416,8 @@ def bench_e2e(
             acc = acc + jnp.sum(low.astype(jnp.float32))
         else:
             # videos ride the object-batch dim of the memory machinery
-            vfeats = jax.tree.map(
-                lambda a: a.reshape(batch, sam_frames, *a.shape[1:]), sfeats
+            vfeats = sfeats.map_frames(
+                lambda a: a.reshape(batch, sam_frames, *a.shape[1:])
             )
             low = propagate_videos_batched(
                 sam, params["sam"], vfeats, seg_embed

@@ -47,15 +47,25 @@ def test_quantized_lm_matches_fp():
     assert agree > 0.8
 
 
+def test_pack_unpack_int4_roundtrip():
+    from ufvideo_tpu.quant import pack_int4, unpack_int4
+
+    q = jax.random.randint(jax.random.PRNGKey(7), (3, 32, 16), -8, 8)
+    packed = pack_int4(q)
+    assert packed.dtype == jnp.int8 and packed.shape == (3, 16, 16)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
+
+
 def test_quantize_kernel4_roundtrip():
-    from ufvideo_tpu.quant import quantize_kernel4
+    from ufvideo_tpu.quant import quantize_kernel4, unpack_int4
 
     w = jax.random.normal(jax.random.PRNGKey(2), (128, 16)) * 0.3
     qd = quantize_kernel4(w, group=64)
-    assert qd["q"].dtype == jnp.int4
+    assert qd["q"].dtype == jnp.int8  # packed: two 4-bit values per byte
+    assert qd["q"].shape == (64, 16)
     assert qd["scale"].shape == (2, 16)
     deq = (
-        qd["q"].astype(jnp.float32).reshape(2, 64, 16)
+        unpack_int4(qd["q"]).astype(jnp.float32).reshape(2, 64, 16)
         * qd["scale"][:, None, :]
     ).reshape(128, 16)
     err = np.abs(np.asarray(deq - w))
@@ -93,7 +103,7 @@ def test_int4_dense_exact():
     """QuantDense(int4) == x @ dequantized(W): the grouped-einsum path is
     exactly the blockwise-dequant matmul."""
     from ufvideo_tpu.models.qwen2 import QuantDense
-    from ufvideo_tpu.quant import quantize_kernel4
+    from ufvideo_tpu.quant import quantize_kernel4, unpack_int4
 
     din, dout, g = 128, 48, 64
     w = jax.random.normal(jax.random.PRNGKey(3), (din, dout)) * 0.2
@@ -106,7 +116,7 @@ def test_int4_dense_exact():
         {"params": {"kernel_q": qd["q"], "kernel_scale": qd["scale"]}}, x
     )
     deq = (
-        qd["q"].astype(jnp.float32).reshape(din // g, g, dout)
+        unpack_int4(qd["q"]).astype(jnp.float32).reshape(din // g, g, dout)
         * qd["scale"][:, None, :]
     ).reshape(din, dout)
     np.testing.assert_allclose(

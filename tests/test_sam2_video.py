@@ -247,12 +247,12 @@ def test_batched_multivideo_propagation_matches_loop():
 
     singles = []
     for i in range(v):
-        f_i = jax.tree.map(lambda a: a[i * t : (i + 1) * t], feats)
+        f_i = feats.map_frames(lambda a: a[i * t : (i + 1) * t])
         singles.append(
             np.asarray(propagate_video(model, params, f_i, embd[i][:, None]))
         )
     want = np.stack(singles, axis=1)[:, :, 0]  # [T, V, 1, h, w]
 
-    f_b = jax.tree.map(lambda a: a.reshape(v, t, *a.shape[1:]), feats)
+    f_b = feats.map_frames(lambda a: a.reshape(v, t, *a.shape[1:]))
     got = np.asarray(propagate_videos_batched(model, params, f_b, embd))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

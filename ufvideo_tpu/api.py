@@ -291,9 +291,7 @@ class UFVideoRuntime:
         else:
             images = jnp.asarray(flat)
         feats = encode_video_frames(self.sam, self.params["sam"], images)
-        vfeats = jax.tree.map(
-            lambda a: a.reshape((v, t) + a.shape[1:]), feats
-        )
+        vfeats = feats.map_frames(lambda a: a.reshape((v, t) + a.shape[1:]))
         low = propagate_videos_batched(
             self.sam, self.params["sam"], vfeats, seg_embeddings[:, None, :]
         )  # [T, V, 1, h4, w4]

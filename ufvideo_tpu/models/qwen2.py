@@ -88,10 +88,12 @@ class QuantDense(nn.Module):
     load, model/__init__.py:50-60).
 
     int8: per-output-channel fp32 scales — the scale applies to the output,
-    so the kernel is read from HBM as int8. int4: native jnp.int4 storage
-    (XLA packs two values per byte on TPU) with per-(input-group, column)
-    scales; the group scale can't commute past the full contraction, so the
-    dot runs as a grouped einsum with the fp32 partials scaled per group."""
+    so the kernel is read from HBM as int8. int4: packed-int8 storage (two
+    4-bit values per byte, nibble-unpacked in-jit — native jnp.int4 arrays
+    cannot cross this runtime's dispatch boundary) with per-(input-group,
+    column) scales; the group scale can't commute past the full
+    contraction, so the dot runs as a grouped einsum with the fp32
+    partials scaled per group."""
 
     features: int
     use_bias: bool = True
@@ -118,11 +120,14 @@ class QuantDense(nn.Module):
             y = (y * scale).astype(self.dtype)
         else:
             assert self.bits == 4 and din % self.group == 0, (self.bits, din)
+            from ..quant import unpack_int4  # packed-int8 4-bit storage
+
             g = din // self.group
-            q = self.param(
+            q8 = self.param(
                 "kernel_q", nn.initializers.zeros,
-                (din, self.features), jnp.int4,
+                (din // 2, self.features), jnp.int8,
             )
+            q = unpack_int4(q8)
             scale = self.param(
                 "kernel_scale", nn.initializers.ones,
                 (g, self.features), jnp.float32,

@@ -42,7 +42,18 @@ class FrameFeatures(NamedTuple):
     s0: jnp.ndarray  # [T, 4H, 4W, C/8] (after conv_s0)
     s1: jnp.ndarray  # [T, 2H, 2W, C/4] (after conv_s1)
     s2: jnp.ndarray  # [T, H, W, C]
-    pos2: jnp.ndarray  # [T, H, W, C] sine pos embed of the top level
+    # sine pos embed of the top level — identical for every frame (and every
+    # video), so it is stored ONCE as [H, W, C] rather than [T, H, W, C]:
+    # at 16-video serving batches the per-frame f32 copy alone was ~0.5 GB
+    pos2: jnp.ndarray  # [H, W, C]
+
+    def map_frames(self, fn) -> "FrameFeatures":
+        """Apply ``fn`` to the per-frame feature arrays (s0/s1/s2) only —
+        pos2 is frame-invariant and passes through unchanged. Use this
+        instead of ``jax.tree.map`` for slicing/reshaping the T axis."""
+        return FrameFeatures(
+            fn(self.s0), fn(self.s1), fn(self.s2), self.pos2
+        )
 
 
 import functools
@@ -78,7 +89,7 @@ def encode_video_frames(
         jnp.concatenate([o["backbone_fpn"][i] for o in outs], axis=0)
         for i in range(3)
     ]
-    pos2 = jnp.concatenate([o["vision_pos_enc"][2] for o in outs], axis=0)
+    pos2 = outs[0]["vision_pos_enc"][2][0]  # frame-invariant: keep one copy
     return FrameFeatures(feats[0], feats[1], feats[2], pos2)
 
 
@@ -486,18 +497,15 @@ def _propagate_general_jit(
 
     def run(frames, reverse):
         def step(carry, xs):
-            fi, s0, s1, s2, pos2 = xs
+            fi, s0, s1, s2 = xs
             return _track_frame_general(
-                model, params, carry, fi, s0, s1, s2, pos2,
+                model, params, carry, fi, s0, s1, s2, feats.pos2,
                 num_frames=t, anchor_idx=anchor, cond_idcs=cond_idcs,
                 stride=stride, reverse=reverse,
             )
 
         idx = jnp.asarray(frames, jnp.int32)
-        xs = (
-            idx,
-            feats.s0[idx], feats.s1[idx], feats.s2[idx], feats.pos2[idx],
-        )
+        xs = (idx, feats.s0[idx], feats.s1[idx], feats.s2[idx])
         _, out = jax.lax.scan(step, state0, xs)
         return out
 
@@ -587,15 +595,15 @@ def propagate_video(
     state, mask0 = init_on_first_frame(model, params, feats, language_embd)
 
     def step(carry, xs):
-        fi, s0, s1, s2, pos2 = xs
+        fi, s0, s1, s2 = xs
         new_state, masks = track_frame(
-            model, params, carry, fi, s0, s1, s2, pos2, num_frames=t
+            model, params, carry, fi, s0, s1, s2, feats.pos2, num_frames=t
         )
         return new_state, masks
 
     xs = (
         jnp.arange(1, t, dtype=jnp.int32),
-        feats.s0[1:], feats.s1[1:], feats.s2[1:], feats.pos2[1:],
+        feats.s0[1:], feats.s1[1:], feats.s2[1:],
     )
     _, masks_rest = jax.lax.scan(step, state, xs)
     return jnp.concatenate([mask0[None], masks_rest], axis=0)
@@ -623,7 +631,7 @@ def propagate_videos_batched(
         jnp.moveaxis(feats.s0, 0, 1),
         jnp.moveaxis(feats.s1, 0, 1),
         jnp.moveaxis(feats.s2, 0, 1),
-        jnp.moveaxis(feats.pos2, 0, 1),
+        feats.pos2,  # frame- and video-invariant
     )
     return propagate_video(model, params, f, language_embd)
 

@@ -32,20 +32,46 @@ def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "scale": scale}
 
 
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """int values in [-8, 7], [..., in, out] → packed int8 [..., in/2, out]
+    (row 2i in the low nibble, row 2i+1 in the high nibble).
+
+    Packed-int8 storage instead of native ``jnp.int4``: this runtime's PJRT
+    client cannot relayout S4 arrays across the dispatch boundary
+    (device_put recursion, PERF.md dead ends), so int4 weights live as int8
+    bytes and are nibble-unpacked inside the jitted computation — S4 never
+    exists outside a trace."""
+    qi = q.astype(jnp.int8)
+    lo = qi[..., 0::2, :] & 0xF
+    hi = jnp.left_shift(qi[..., 1::2, :], 4)
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4(q8: jnp.ndarray) -> jnp.ndarray:
+    """Packed int8 [..., in/2, out] → int8 values in [-8, 7] [..., in, out]
+    (sign-extending nibble unpack; the inverse of pack_int4)."""
+    lo = jnp.right_shift(jnp.left_shift(q8, 4), 4)
+    hi = jnp.right_shift(q8, 4)
+    *lead, d2, dout = q8.shape
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, d2 * 2, dout)
+
+
 def quantize_kernel4(w: jnp.ndarray, group: int = 64) -> Dict[str, jnp.ndarray]:
-    """[..., in, out] float kernel → {'q': int4, 'scale': f32[..., in/g, out]}
-    with symmetric per-(input-group, output-column) scales — the TPU analog
-    of bnb's blockwise 4-bit (reference model/__init__.py:52-58)."""
+    """[..., in, out] float kernel → {'q': packed int8 [..., in/2, out],
+    'scale': f32[..., in/g, out]} with symmetric per-(input-group,
+    output-column) scales — the TPU analog of bnb's blockwise 4-bit
+    (reference model/__init__.py:52-58). See pack_int4 for why the 4-bit
+    values are stored as packed int8 bytes."""
     wf = w.astype(jnp.float32)
     *lead, din, dout = wf.shape
-    assert din % group == 0, (din, group)
+    assert din % group == 0 and din % 2 == 0, (din, group)
     g = din // group
     wg = wf.reshape(*lead, g, group, dout)
     scale = jnp.max(jnp.abs(wg), axis=-2) / 7.0  # [..., g, out]
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(wg / scale[..., None, :]), -7, 7)
     return {
-        "q": q.reshape(*lead, din, dout).astype(jnp.int4),
+        "q": pack_int4(q.reshape(*lead, din, dout)),
         "scale": scale,
     }
 
