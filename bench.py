@@ -202,7 +202,8 @@ def bench_decode(
     dt = _timeit(run, warmup=1, iters=3)
     tps = batch * new_tokens / dt
     name = "qwen2_7b_decode"
-    name += "_int8" if quant else ""
+    if quant:
+        name += "_int4" if quant in (4, "int4", "4bit") else "_int8"
     name += "_kvq8" if kv_quant else ""
     if batch > 1:
         name += f"_batch{batch}"
@@ -464,6 +465,8 @@ def _mode_fns():
         "decode": bench_decode,
         "decode_int8": lambda: bench_decode(quant=True),
         "decode_int8_kvq8": lambda: bench_decode(quant=True, kv_quant=True),
+        "decode_int4": lambda: bench_decode(quant="int4"),
+        "decode_int4_kvq8": lambda: bench_decode(quant="int4", kv_quant=True),
         "prefill": bench_prefill,
         "sam_encode": bench_sam_encode,
         "e2e": bench_e2e,

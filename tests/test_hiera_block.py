@@ -156,6 +156,69 @@ def test_fused_block_tail_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "n,ws,cin,cout,heads",
+    [
+        (8, 4, 32, 64, 2),  # i=2-like: tiny window, stride-2 pool
+        (16, 8, 64, 128, 4),  # i=44-like
+        (4, 16, 48, 96, 4),  # i=8-like: 256-token window
+    ],
+)
+def test_fused_qpool_kernel_interpret(n, ws, cin, cout, heads):
+    from ufvideo_tpu.ops.hiera_block import (
+        _qpool_reference, fused_qpool_block,
+    )
+
+    hp = cout // heads
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(n, ws * ws, cin).astype("f") * 0.1)
+    hw = heads * hp
+    params = tuple(
+        jnp.asarray(v.astype("f"))
+        for v in (
+            rng.randn(cin) * 0.1 + 1, rng.randn(cin) * 0.1,
+            rng.randn(cin, 3 * hw + cout) * cin ** -0.5,
+            rng.randn(3 * hw + cout) * 0.05,
+            rng.randn(hw, cout) * hw ** -0.5, rng.randn(cout) * 0.05,
+            rng.randn(cout) * 0.1 + 1, rng.randn(cout) * 0.1,
+            rng.randn(cout, 4 * cout) * cout ** -0.5,
+            rng.randn(4 * cout) * 0.05,
+            rng.randn(4 * cout, cout) * (4 * cout) ** -0.5,
+            rng.randn(cout) * 0.05,
+        )
+    )
+    got = fused_qpool_block(
+        x, params, heads, hp, 0, (2, 2), interpret=True
+    )
+    want = _qpool_reference(x, params, heads, hp, hp, (2, 2))
+    assert got.shape == (n, ws * ws // 4, cout)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_qpool_fused_module_matches_partial_path(monkeypatch):
+    """MultiScaleBlock with the whole-block q-pool kernel (CPU fallback =
+    _qpool_reference) == the partial-fusion path (knob off) on the same
+    params."""
+    from ufvideo_tpu.models.sam2.hiera import MultiScaleBlock
+
+    rng = np.random.RandomState(4)
+    blk = MultiScaleBlock(
+        dim=32, dim_out=64, num_heads=2, q_stride=(2, 2), window_side=8,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.randn(4, 64, 32).astype("f") * 0.1)
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+    monkeypatch.setenv("UFVIDEO_QPOOL_FUSED", "1")
+    out_fused = blk.apply({"params": params}, x)
+    monkeypatch.setenv("UFVIDEO_QPOOL_FUSED", "0")
+    out_partial = blk.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_partial), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_qpool_and_global_blocks_interpret_match_generic():
     """The partial-fused q-pool/global block path == the generic unfused
     module math (same params, interpret-mode kernels)."""

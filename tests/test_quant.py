@@ -122,3 +122,26 @@ def test_int4_dense_exact():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(x @ deq), rtol=1e-5, atol=1e-5
     )
+
+
+def test_int4_matmul_kernel_interpret():
+    """Pallas packed-int4 dequant-matmul == XLA reference on the same
+    bf16-dequantized values (decode matvec shapes)."""
+    from ufvideo_tpu.ops.quant_matmul import (
+        int4_matmul, int4_matmul_reference,
+    )
+    from ufvideo_tpu.quant import quantize_kernel4
+
+    for rows, din, dout, group in [
+        (1, 256, 512, 64),
+        (8, 512, 256, 128),
+        (4, 128, 1024, 64),
+    ]:
+        w = jax.random.normal(jax.random.PRNGKey(rows), (din, dout)) * 0.3
+        qd = quantize_kernel4(w, group=group)
+        x = jax.random.normal(jax.random.PRNGKey(rows + 7), (rows, din))
+        got = int4_matmul(x, qd["q"], qd["scale"], group, interpret=True)
+        want = int4_matmul_reference(x, qd["q"], qd["scale"], group)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-2, rtol=1e-2
+        )

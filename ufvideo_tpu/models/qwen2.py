@@ -127,11 +127,28 @@ class QuantDense(nn.Module):
                 "kernel_q", nn.initializers.zeros,
                 (din // 2, self.features), jnp.int8,
             )
-            q = unpack_int4(q8)
             scale = self.param(
                 "kernel_scale", nn.initializers.ones,
                 (g, self.features), jnp.float32,
             )
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            if jax.default_backend() == "tpu" and rows <= 32:
+                # decode-shaped matvec: Pallas dequant-matmul reads the
+                # PACKED bytes (XLA would materialize a full int8 unpack to
+                # HBM per step — measured 3.9 tok/s vs 90 int8)
+                from ..ops.quant_matmul import int4_matmul
+
+                y = int4_matmul(x, q8, scale, self.group).astype(self.dtype)
+                if self.use_bias:
+                    b = self.param(
+                        "bias", nn.initializers.zeros, (self.features,),
+                        self.dtype,
+                    )
+                    y = y + b
+                return y
+            q = unpack_int4(q8)
             xg = x.astype(self.dtype).reshape(x.shape[:-1] + (g, self.group))
             qg = q.astype(self.dtype).reshape(g, self.group, self.features)
             part = jnp.einsum(

@@ -44,6 +44,7 @@ from ...ops.hiera_block import (
     fused_block_tail,
     fused_hiera_block,
     fused_ln_matmul,
+    fused_qpool_block,
 )
 from ..param_holders import (
     AttnPairParams as _AttnP,
@@ -228,6 +229,24 @@ class MultiScaleBlock(nn.Module):
                     [wq.astype(self.dtype), wsc.astype(self.dtype)], axis=1
                 )
                 bfront = jnp.concatenate([bq, bsc])
+
+            import os as _os
+
+            if (
+                self.q_stride is not None
+                and self.dim != self.dim_out
+                and x.shape[1] == self.window_side ** 2
+                and _os.environ.get("UFVIDEO_QPOOL_FUSED", "0") == "1"
+            ):
+                # whole-block fused q-pool kernel: computes only the pooled
+                # sq = S/(sy·sx) q rows (ops/hiera_block.fused_qpool_block)
+                return fused_qpool_block(
+                    x.astype(self.dtype),
+                    (ln1_s, ln1_b, wfront, bfront, wp, bp, ln2_s, ln2_b,
+                     w1, b1, w2, b2),
+                    self.num_heads, hd, self.head_pad, self.q_stride,
+                )
+
             front = fused_ln_matmul(
                 x.astype(self.dtype), ln1_s, ln1_b, wfront, bfront
             )

@@ -584,6 +584,297 @@ def _tail_forward(shortcut, att, params, interpret, act, eps):
 fused_block_tail.defvjp(_tail_fwd, _tail_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused q-pool whole-block kernel: the 3 stage-transition blocks (Hiera-L
+# i = 2, 8, 44; reference sam2.py:1085-1131 with q_stride set). Unlike the
+# measured round-2 dead end (pooled q zero-padded back to S rows through the
+# windowed kernel), this computes ONLY the sq = S/(sy*sx) pooled q rows:
+# LN1 → front matmul (qkv + folded dim-change shortcut proj) → in-kernel
+# 2x2 window max-pool of q and the shortcut → grouped block-diagonal
+# attention (sq q rows vs S kv rows per window) → proj → +pooled shortcut →
+# LN2 → MLP, one HBM round-trip for the activations.
+# ---------------------------------------------------------------------------
+
+
+def _qpool_kernel(
+    x_ref,  # [bw, S, Cin]
+    ln1_s_ref, ln1_b_ref,  # [1, Cin] f32
+    wf_ref, bf_ref,  # [Cin, 3*H*hp + Cout], [1, ...] (qkv ++ shortcut proj)
+    wproj_ref, bproj_ref,  # [H*hp, Cout], [1, Cout]
+    ln2_s_ref, ln2_b_ref,  # [1, Cout]
+    w1_ref, b1_ref,  # [Cout, M], [1, M]
+    w2_ref, b2_ref,  # [M, Cout], [1, Cout]
+    o_ref,  # [bw, sq, Cout]
+    att_ref,  # scratch [bw*sq, H*hp]
+    *,
+    num_heads: int,
+    head_dim: int,
+    head_pad: int,
+    ws: int,  # window side of the INPUT tokens (S = ws*ws)
+    sy: int,
+    sx: int,
+    bw: int,
+    gw: int,  # windows per block-diagonal attention group
+    act: str,
+    eps: float,
+):
+    s = ws * ws
+    sq = (ws // sy) * (ws // sx)
+    rows = bw * s
+    hp = head_pad
+    hw = num_heads * hp
+    cout = o_ref.shape[-1]
+    scale = head_dim ** -0.5
+    dtype = x_ref.dtype
+
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])
+    xn = _layernorm(
+        x.astype(jnp.float32), ln1_s_ref[0, :], ln1_b_ref[0, :], eps
+    ).astype(dtype)
+    front = (
+        jax.lax.dot_general(
+            xn, wf_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + bf_ref[0, :]
+    ).astype(dtype)
+
+    # window-interior max pool of q and the shortcut: tokens are x-major
+    # within each window, so both pools are leading-dim reshapes + max
+    # (last dim stays in lanes — Mosaic-legal)
+    def pool(v):  # [rows, D] -> [bw*sq, D]
+        d = v.shape[-1]
+        v6 = v.reshape(bw, ws // sy, sy, ws // sx, sx, d)
+        return jnp.max(jnp.max(v6, axis=4), axis=2).reshape(bw * sq, d)
+
+    qp = pool(front[:, :hw])  # [bw*sq, H*hp]
+    sc = pool(front[:, 3 * hw :])  # [bw*sq, Cout] pooled dim-change shortcut
+
+    grows_q = gw * sq
+    grows_k = gw * s
+    if gw > 1:
+        win_r = jax.lax.broadcasted_iota(jnp.int32, (grows_q, grows_k), 0) // sq
+        win_c = jax.lax.broadcasted_iota(jnp.int32, (grows_q, grows_k), 1) // s
+        same = win_r == win_c
+    for g in range(bw // gw):
+        slq = slice(g * grows_q, (g + 1) * grows_q)
+        slk = slice(g * grows_k, (g + 1) * grows_k)
+        for h in range(num_heads):
+            q = (
+                qp[slq, h * hp : (h + 1) * hp].astype(jnp.float32)
+                * (scale * _LOG2E)
+            ).astype(dtype)
+            k = front[slk, hw + h * hp : hw + (h + 1) * hp]
+            v = front[slk, 2 * hw + h * hp : 2 * hw + (h + 1) * hp]
+            sdot = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            if gw > 1:
+                sdot = jnp.where(same, sdot, _NEG_INF)
+            m = jnp.max(sdot, axis=-1, keepdims=True)
+            p = jnp.exp2((sdot - m).astype(dtype))
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.dot(
+                p, v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) / denom
+            att_ref[slq, h * hp : (h + 1) * hp] = o.astype(dtype)
+
+    x1 = sc + (
+        jax.lax.dot_general(
+            att_ref[...], wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + bproj_ref[0, :]
+    ).astype(dtype)
+    xm = _layernorm(
+        x1.astype(jnp.float32), ln2_s_ref[0, :], ln2_b_ref[0, :], eps
+    ).astype(dtype)
+    hmid = (
+        jax.lax.dot_general(
+            xm, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + b1_ref[0, :]
+    )
+    hmid = _ACTS[act](hmid).astype(dtype)
+    mlp = (
+        jax.lax.dot_general(
+            hmid, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        + b2_ref[0, :]
+    ).astype(dtype)
+    o_ref[...] = (x1 + mlp).reshape(o_ref.shape)
+
+
+def _qpool_reference(
+    x, params, num_heads, head_dim, head_pad, q_stride, act="gelu_exact",
+    eps=1e-6,
+):
+    """XLA reference with identical math (MultiScaleBlock with q_stride and
+    a dim-change shortcut proj folded into the front matmul)."""
+    (ln1_s, ln1_b, wf, bf, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
+     b2) = params
+    n, s, _ = x.shape
+    ws = int(round(s ** 0.5))
+    sy, sx = q_stride
+    sq = (ws // sy) * (ws // sx)
+    hp = head_pad
+    hw = num_heads * hp
+    dtype = x.dtype
+    xn = _layernorm(x.astype(jnp.float32), ln1_s, ln1_b, eps).astype(dtype)
+    front = (xn @ wf.astype(dtype) + bf).astype(dtype)
+
+    def pool(v):  # [n, s, d] -> [n, sq, d]
+        d = v.shape[-1]
+        v6 = v.reshape(n, ws // sy, sy, ws // sx, sx, d)
+        return jnp.max(jnp.max(v6, axis=4), axis=2).reshape(n, sq, d)
+
+    qp = pool(front[..., :hw]).reshape(n, sq, num_heads, hp)
+    sc = pool(front[..., 3 * hw :])
+    kh = front[..., hw : 2 * hw].reshape(n, s, num_heads, hp)
+    vh = front[..., 2 * hw : 3 * hw].reshape(n, s, num_heads, hp)
+    logits = (
+        jnp.einsum("nqhd,nkhd->nhqk", qp, kh,
+                   preferred_element_type=jnp.float32)
+        * head_dim ** -0.5
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum(
+        "nhqk,nkhd->nqhd", probs.astype(dtype), vh,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    x1 = sc + (o.reshape(n, sq, hw) @ wproj.astype(dtype) + bproj).astype(dtype)
+    xm = _layernorm(x1.astype(jnp.float32), ln2_s, ln2_b, eps).astype(dtype)
+    h = _ACTS[act]((xm @ w1.astype(dtype) + b1).astype(jnp.float32))
+    return x1 + (h.astype(dtype) @ w2.astype(dtype) + b2).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def fused_qpool_block(
+    x: jnp.ndarray,  # [N, S, Cin] window-major tokens, S = ws²
+    params: tuple,  # (ln1_s, ln1_b, wfront, bfront, wproj, bproj,
+    #                 ln2_s, ln2_b, w1, b1, w2, b2) — wfront = [qkv ++ sc]
+    num_heads: int,
+    head_dim: int,
+    head_pad: int = 0,
+    q_stride: tuple = (2, 2),
+    interpret: bool = False,
+    act: str = "gelu_exact",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """One full q-pooling stage-transition block → [N, S/(sy·sx), Cout].
+    Forward Pallas on TPU; VJP recomputes through the XLA reference (the
+    SAM2 image encoder is frozen in reference training)."""
+    return _qpool_forward(
+        x, params, num_heads, head_dim, head_pad, q_stride, interpret, act,
+        eps,
+    )
+
+
+def _qpool_forward(
+    x, params, num_heads, head_dim, head_pad, q_stride, interpret, act, eps
+):
+    n, s, cin = x.shape
+    hp = head_pad or head_dim
+    if not interpret and jax.default_backend() != "tpu":
+        return _qpool_reference(
+            x, params, num_heads, head_dim, hp, q_stride, act, eps
+        )
+    (ln1_s, ln1_b, wf, bf, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
+     b2) = params
+    ws = int(round(s ** 0.5))
+    assert ws * ws == s, s
+    sy, sx = q_stride
+    sq = (ws // sy) * (ws // sx)
+    cout = wproj.shape[1]
+    mlp_dim = w1.shape[1]
+    # ~128 q rows per score group, ~1024 kv rows per grid step, ≤64
+    # unrolled attention dot-pairs per step (same budget as _pick_bw)
+    gw = max(1, 128 // sq)
+    while gw > 1 and n % gw != 0:
+        gw //= 2
+    bw = gw
+    while (
+        bw * 2 * s <= 1024
+        and n % (bw * 2) == 0
+        and (bw * 2 // gw) * num_heads <= 64
+    ):
+        bw *= 2
+    gw = min(gw, bw)
+    kernel = functools.partial(
+        _qpool_kernel, num_heads=num_heads, head_dim=head_dim, head_pad=hp,
+        ws=ws, sy=sy, sx=sx, bw=bw, gw=gw, act=act, eps=eps,
+    )
+    f32 = jnp.float32
+    vec = lambda a: a.reshape(1, -1).astype(f32)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, s, cin), lambda i: (i, 0, 0)),
+            full((1, cin)), full((1, cin)),
+            full(wf.shape), full((1, wf.shape[1])),
+            full(wproj.shape), full((1, cout)),
+            full((1, cout)), full((1, cout)),
+            full(w1.shape), full((1, mlp_dim)),
+            full(w2.shape), full((1, cout)),
+        ],
+        out_specs=pl.BlockSpec((bw, sq, cout), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, sq, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bw * sq, num_heads * hp), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        vec(ln1_s), vec(ln1_b),
+        wf.astype(x.dtype), vec(bf),
+        wproj.astype(x.dtype), vec(bproj),
+        vec(ln2_s), vec(ln2_b),
+        w1.astype(x.dtype), vec(b1),
+        w2.astype(x.dtype), vec(b2),
+    )
+
+
+def _qpool_fwd(x, params, num_heads, head_dim, head_pad, q_stride, interpret,
+               act, eps):
+    return (
+        fused_qpool_block(
+            x, params, num_heads, head_dim, head_pad, q_stride, interpret,
+            act, eps,
+        ),
+        (x, params),
+    )
+
+
+def _qpool_bwd(num_heads, head_dim, head_pad, q_stride, interpret, act, eps,
+               res, g):
+    x, params = res
+    hp = head_pad or head_dim
+    _, vjp = jax.vjp(
+        lambda xx, pp: _qpool_reference(
+            xx, pp, num_heads, head_dim, hp, q_stride, act, eps
+        ),
+        x, params,
+    )
+    return vjp(g)
+
+
+fused_qpool_block.defvjp(_qpool_fwd, _qpool_bwd)
+
+
 def _fwd(x, params, num_heads, head_dim, head_pad, interpret, act, eps):
     return (
         _forward(x, params, num_heads, head_dim, head_pad, interpret, act, eps),

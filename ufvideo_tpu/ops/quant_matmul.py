@@ -1,0 +1,129 @@
+"""Pallas int4 dequant-matmul: packed 4-bit weights → matmul without ever
+materializing the dequantized kernel in HBM.
+
+XLA cannot fuse the nibble unpack (`quant.unpack_int4`) into a dot operand,
+so the plain einsum path materializes a full int8 copy of every weight to
+HBM each step — measured 3.9 tok/s for 7B int4 decode vs int8's 90 (the
+decode loop is weight-bandwidth-bound; the materialization turns a 3.8 GB
+read into read+write+read of ~19 GB). This kernel reads the packed bytes
+(half of int8's traffic), sign-extends the nibbles and applies the
+per-(input-group, column) scales in VMEM, and accumulates the matmul in f32.
+
+Layout trick: `pack_int4` stores logical row 2i in the low nibble and row
+2i+1 in the high nibble of packed row i. Instead of re-interleaving rows in
+VMEM (a sublane shuffle over the whole weight block), the caller splits the
+activation lanes once (x_even = x[..., 0::2], x_odd = x[..., 1::2] — a few
+KB) and the kernel computes x_even @ lo + x_odd @ hi on the un-interleaved
+nibble planes. Group scales broadcast over 32 packed rows (= 64 logical
+rows) per group, a leading-dim reshape Mosaic lowers for free.
+
+Serving matvec shape (decode: a few rows against a huge weight): grid over
+output-column tiles, full contraction per step. Prefill-sized row counts
+fall back to the XLA einsum (compute-bound there, and the one-off
+materialization amortizes over thousands of rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _int4_kernel(
+    xe_ref,  # [rows, din/2] bf16 — even logical lanes of x
+    xo_ref,  # [rows, din/2] bf16 — odd logical lanes
+    q_ref,  # [din/2, nt] int8 packed (lo nibble: even rows, hi: odd rows)
+    s_ref,  # [g, nt] f32 per-(group, column) scales
+    o_ref,  # [rows, nt] f32
+    *,
+    group_half: int,  # packed rows per scale group (= group // 2)
+):
+    p = q_ref[...]
+    dh, nt = p.shape
+    g = dh // group_half
+    # f32 scales broadcast over each group's packed rows (leading-dim
+    # reshape; bf16 product keeps the dequantized values at the same
+    # precision the bf16 fp path stores its weights)
+    s = s_ref[...].reshape(g, 1, nt)
+    s = jnp.broadcast_to(s, (g, group_half, nt)).reshape(dh, nt)
+    # arithmetic int8 shifts sign-extend the nibbles: lo = (p<<4)>>4 in
+    # [-8, 7], hi = p>>4
+    lo = (jnp.left_shift(p, 4) >> 4).astype(jnp.float32)
+    hi = (p >> 4).astype(jnp.float32)
+    wl = (lo * s).astype(jnp.bfloat16)
+    wh = (hi * s).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        xe_ref[...], wl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    acc = acc + jax.lax.dot_general(
+        xo_ref[...], wh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    o_ref[...] = acc
+
+
+def int4_matmul(
+    x: jnp.ndarray,  # [..., din]
+    q8: jnp.ndarray,  # [din/2, dout] packed int8 (quant.pack_int4 layout)
+    scales: jnp.ndarray,  # [din/group, dout] f32
+    group: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ dequant(q8, scales) with the packed int4 kernel → [..., dout] f32.
+
+    Exact same math as the grouped-einsum reference modulo the order of the
+    f32 accumulation (the kernel dequantizes to bf16 values — identical to
+    what a bf16 checkpoint of the dequantized weights would store — and
+    accumulates in f32)."""
+    *lead, din = x.shape
+    dh, dout = q8.shape
+    assert 2 * dh == din and group % 2 == 0 and din % group == 0
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, din).astype(jnp.bfloat16)
+    xe = x2[:, 0::2]
+    xo = x2[:, 1::2]
+    nt = 512 if dout % 512 == 0 else (256 if dout % 256 == 0 else dout)
+    if din > 8192 and nt > 256 and dout % 256 == 0:
+        nt = 256  # bound the per-step dequantized VMEM blocks
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, group_half=group // 2),
+        grid=(dout // nt,),
+        in_specs=[
+            pl.BlockSpec((rows, dh), lambda i: (0, 0)),
+            pl.BlockSpec((rows, dh), lambda i: (0, 0)),
+            pl.BlockSpec((dh, nt), lambda i: (0, i)),
+            pl.BlockSpec((scales.shape[0], nt), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((rows, nt), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((rows, dout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(xe, xo, q8, scales.astype(jnp.float32))
+    return out.reshape(*lead, dout)
+
+
+def int4_matmul_reference(x, q8, scales, group):
+    """XLA reference with the same bf16 dequantized values (for parity
+    tests; this is also exactly the einsum path's math when the einsum
+    consumes bf16 operands)."""
+    from ..quant import unpack_int4
+
+    *lead, din = x.shape
+    g = din // group
+    dout = q8.shape[-1]
+    q = unpack_int4(q8).astype(jnp.float32).reshape(g, group, dout)
+    w = (q * scales[:, None, :]).astype(jnp.bfloat16).reshape(din, dout)
+    return jnp.dot(
+        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
