@@ -281,6 +281,7 @@ def bench_e2e(
     new_tokens: int = 64,
     batch: int = 1,
     kv_quant: bool = False,
+    llm_quant="int8",
 ):
     """Full PixRQA-style pipeline on one chip (BASELINE.json metric
     'PixRQA e2e latency'): 32-frame SigLIP encode → STC projector → splice →
@@ -310,7 +311,7 @@ def bench_e2e(
     from ufvideo_tpu.models.ufvideo import UFVideoModel
     from ufvideo_tpu.splicing import plan_splice
 
-    cfg = UFVideoConfig(quant_llm=True)
+    cfg = UFVideoConfig(quant_llm=llm_quant)
     cfg = cfg.replace(
         budget=dataclasses.replace(
             cfg.budget, num_frames=num_frames, max_seq_len=4096
@@ -428,6 +429,8 @@ def bench_e2e(
 
     dt = _timeit(run, warmup=1, iters=3)
     name = "pixrqa_e2e_videos_per_sec" + (f"_batch{batch}" if batch > 1 else "")
+    if llm_quant in (4, "int4", "4bit"):
+        name += "_int4"
     return name, batch / dt, "videos/s/chip"
 
 
@@ -472,6 +475,9 @@ def _mode_fns():
         "e2e": bench_e2e,
         "e2e_batch": lambda: bench_e2e(batch=8),
         "e2e_batch16": lambda: bench_e2e(batch=16, kv_quant=True),
+        "e2e_batch16_int4": lambda: bench_e2e(
+            batch=16, kv_quant=True, llm_quant="int4"
+        ),
     }
 
 
