@@ -92,8 +92,9 @@ class QuantDense(nn.Module):
     4-bit values per byte, nibble-unpacked in-jit — native jnp.int4 arrays
     cannot cross this runtime's dispatch boundary) with per-(input-group,
     column) scales; the group scale can't commute past the full
-    contraction, so the dot runs as a grouped einsum with the fp32
-    partials scaled per group."""
+    contraction, so decode matvecs run a Pallas dequant-matmul on the
+    packed bytes and larger (prefill) shapes blockwise-dequantize to the
+    compute dtype for a single dot."""
 
     features: int
     use_bias: bool = True
@@ -148,14 +149,19 @@ class QuantDense(nn.Module):
                     )
                     y = y + b
                 return y
+            # large-rows path (prefill): blockwise-dequantize the kernel to
+            # the compute dtype and run ONE dot. (A grouped einsum that
+            # scales f32 partials materializes [rows, g, features] — 36 GB
+            # at batch-16 prefill; dequant is a ≤271 MB per-layer transient
+            # and the same values the Pallas matvec kernel dequantizes.)
             q = unpack_int4(q8)
-            xg = x.astype(self.dtype).reshape(x.shape[:-1] + (g, self.group))
-            qg = q.astype(self.dtype).reshape(g, self.group, self.features)
-            part = jnp.einsum(
-                "...gi,gio->...go", xg, qg,
-                preferred_element_type=jnp.float32,
-            )
-            y = jnp.einsum("...go,go->...o", part, scale).astype(self.dtype)
+            w = (
+                q.astype(jnp.float32).reshape(g, self.group, self.features)
+                * scale[:, None, :]
+            ).reshape(din, self.features).astype(self.dtype)
+            y = jnp.dot(
+                x.astype(self.dtype), w, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.dtype
