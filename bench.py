@@ -394,6 +394,14 @@ def bench_e2e(
             max_new_tokens=new_tokens, stop_ids=(-1,),
             cache_max_len=trim + new_tokens,
             kv_quant=kv_quant,
+            # batch prefill transients (one MLP activation is [B*S, 18944])
+            # dominate peak HBM at serving batches; chunked prefill bounds
+            # them while the decode loop stays fully batched
+            prefill_chunk=int(
+                os.environ.get(
+                    "UFVIDEO_PREFILL_CHUNK", "4" if batch > 4 else "0"
+                )
+            ),
         )
         seg_embed = model.seg_embeddings(params, res.hidden[:, :1, :])
         fchunk = chunk * sam_frames

@@ -233,3 +233,37 @@ def test_remat_matches_dense_loss_and_grads():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
         outs[False][1], outs[True][1],
     )
+
+
+def test_prefill_chunked_matches_single_pass():
+    """greedy_generate(prefill_chunk=c) is bit-identical to the one-pass
+    prefill (rows are independent; the chunks just bound transients)."""
+    import numpy as np
+
+    from ufvideo_tpu.models.generate import greedy_generate
+
+    cfg = TINY
+    model = Qwen2LM(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))[
+        "params"
+    ]
+    b, s = 4, 12
+    embeds = (
+        0.1 * jax.random.normal(jax.random.PRNGKey(1), (b, s, cfg.hidden_size))
+    ).astype(jnp.float32)
+    lens = jnp.asarray([12, 7, 9, 12], jnp.int32)
+    kw = dict(
+        max_new_tokens=6, stop_ids=(-1,), cache_max_len=s + 6,
+        vocab_size=cfg.vocab_size,
+    )
+    ref = greedy_generate(model, params, embeds, lens, **kw)
+    for c in (1, 2):
+        got = greedy_generate(
+            model, params, embeds, lens, prefill_chunk=c, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.hidden), np.asarray(ref.hidden), atol=1e-5
+        )
