@@ -50,10 +50,12 @@ def _int4_kernel(
     # precision the bf16 fp path stores its weights)
     s = s_ref[...].reshape(g, 1, nt)
     s = jnp.broadcast_to(s, (g, group_half, nt)).reshape(dh, nt)
-    # arithmetic int8 shifts sign-extend the nibbles: lo = (p<<4)>>4 in
-    # [-8, 7], hi = p>>4
-    lo = (jnp.left_shift(p, 4) >> 4).astype(jnp.float32)
-    hi = (p >> 4).astype(jnp.float32)
+    # nibble sign-extension in int32 — Mosaic has no int8 vector shifts
+    # (arith.shli on vector<i8> fails to lower): lo = (p<<28)>>28 in
+    # [-8, 7], hi = p>>4 on the sign-extended bytes
+    p32 = p.astype(jnp.int32)
+    lo = (jnp.left_shift(p32, 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
     wl = (lo * s).astype(jnp.bfloat16)
     wh = (hi * s).astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
