@@ -9,13 +9,20 @@ read into read+write+read of ~19 GB). This kernel reads the packed bytes
 (half of int8's traffic), sign-extends the nibbles and applies the
 per-(input-group, column) scales in VMEM, and accumulates the matmul in f32.
 
-Layout trick: `pack_int4` stores logical row 2i in the low nibble and row
-2i+1 in the high nibble of packed row i. Instead of re-interleaving rows in
-VMEM (a sublane shuffle over the whole weight block), the caller splits the
-activation lanes once (x_even = x[..., 0::2], x_odd = x[..., 1::2] — a few
-KB) and the kernel computes x_even @ lo + x_odd @ hi on the un-interleaved
-nibble planes. Group scales broadcast over 32 packed rows (= 64 logical
-rows) per group, a leading-dim reshape Mosaic lowers for free.
+Layout tricks:
+- `pack_int4` stores logical row 2i in the low nibble and row 2i+1 in the
+  high nibble of packed row i. Instead of re-interleaving rows in VMEM (a
+  sublane shuffle over the whole weight block), the caller splits the
+  activation lanes once (x_even = x[..., 0::2], x_odd = x[..., 1::2] — a
+  few KB) and the kernel computes x_even @ lo + x_odd @ hi on the
+  un-interleaved nibble planes.
+- The low nibble is stored biased +8, so its extraction is a single
+  `p & 15` (no per-element sign fix — Mosaic has no int8 vector shifts and
+  every extra VPU op on 7.1G weight elements costs ~1.5 ms/step); the -8
+  de-bias is algebraically `8·Σ_g xe_g · s_g`, one [rows, g]@[g, nt] dot
+  against precomputed activation group-sums.
+- Group scales broadcast over the group's packed rows via a leading-dim
+  reshape Mosaic lowers for free.
 
 Serving matvec shape (decode: a few rows against a huge weight): grid over
 output-column tiles, full contraction per step. Prefill-sized row counts
@@ -36,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 def _int4_kernel(
     xe_ref,  # [rows, din/2] bf16 — even logical lanes of x
     xo_ref,  # [rows, din/2] bf16 — odd logical lanes
-    q_ref,  # [din/2, nt] int8 packed (lo nibble: even rows, hi: odd rows)
+    rs_ref,  # [rows, g] f32 — per-scale-group sums of xe (offset fold)
+    q_ref,  # [din/2, nt] int8 packed (lo nibble biased +8, hi signed)
     s_ref,  # [g, nt] f32 per-(group, column) scales
     o_ref,  # [rows, nt] f32
     *,
@@ -45,19 +53,19 @@ def _int4_kernel(
     p = q_ref[...]
     dh, nt = p.shape
     g = dh // group_half
-    # f32 scales broadcast over each group's packed rows (leading-dim
-    # reshape; bf16 product keeps the dequantized values at the same
-    # precision the bf16 fp path stores its weights)
-    s = s_ref[...].reshape(g, 1, nt)
-    s = jnp.broadcast_to(s, (g, group_half, nt)).reshape(dh, nt)
-    # nibble sign-extension in int32 — Mosaic has no int8 vector shifts
-    # (arith.shli on vector<i8> fails to lower): lo = (p<<28)>>28 in
-    # [-8, 7], hi = p>>4 on the sign-extended bytes
+    s = s_ref[...].astype(jnp.bfloat16)  # [g, nt]
+    srep = jnp.broadcast_to(
+        s.reshape(g, 1, nt), (g, group_half, nt)
+    ).reshape(dh, nt)
+    # branch-free nibble extraction (Mosaic has no int8 vector shifts, so
+    # the bit ops run in int32): the low nibble is stored biased +8, so
+    # `p & 15` IS lo+8 — no per-element sign fix; the -8 de-bias folds into
+    # one small dot below. hi sign-extends via an arithmetic i32 shift.
     p32 = p.astype(jnp.int32)
-    lo = (jnp.left_shift(p32, 28) >> 28).astype(jnp.float32)
-    hi = (p32 >> 4).astype(jnp.float32)
-    wl = (lo * s).astype(jnp.bfloat16)
-    wh = (hi * s).astype(jnp.bfloat16)
+    lo8 = (p32 & 15).astype(jnp.bfloat16)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    wl = lo8 * srep
+    wh = hi * srep
     acc = jax.lax.dot_general(
         xe_ref[...], wl, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -68,7 +76,14 @@ def _int4_kernel(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    o_ref[...] = acc
+    # de-bias: subtract 8·Σ_g xe_g · s_g — one [rows, g]@[g, nt] dot
+    corr = jax.lax.dot_general(
+        rs_ref[...].astype(jnp.bfloat16), s * jnp.bfloat16(8.0),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    o_ref[...] = acc - corr
 
 
 def int4_matmul(
@@ -90,9 +105,15 @@ def int4_matmul(
     rows = 1
     for d in lead:
         rows *= d
+    g = din // group
     x2 = x.reshape(rows, din).astype(jnp.bfloat16)
     xe = x2[:, 0::2]
     xo = x2[:, 1::2]
+    # per-scale-group sums of the even lanes (the +8-bias fold); computed
+    # once outside the kernel — a few KB
+    rs = jnp.sum(
+        xe.astype(jnp.float32).reshape(rows, g, group // 2), axis=-1
+    )
     nt = 512 if dout % 512 == 0 else (256 if dout % 256 == 0 else dout)
     if din > 8192 and nt > 256 and dout % 256 == 0:
         nt = 256  # bound the per-step dequantized VMEM blocks
@@ -102,8 +123,9 @@ def int4_matmul(
         in_specs=[
             pl.BlockSpec((rows, dh), lambda i: (0, 0)),
             pl.BlockSpec((rows, dh), lambda i: (0, 0)),
+            pl.BlockSpec((rows, g), lambda i: (0, 0)),
             pl.BlockSpec((dh, nt), lambda i: (0, i)),
-            pl.BlockSpec((scales.shape[0], nt), lambda i: (0, i)),
+            pl.BlockSpec((g, nt), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((rows, nt), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((rows, dout), jnp.float32),
@@ -111,7 +133,7 @@ def int4_matmul(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(xe, xo, q8, scales.astype(jnp.float32))
+    )(xe, xo, rs, q8, scales.astype(jnp.float32))
     return out.reshape(*lead, dout)
 
 

@@ -33,24 +33,30 @@ def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """int values in [-8, 7], [..., in, out] → packed int8 [..., in/2, out]
-    (row 2i in the low nibble, row 2i+1 in the high nibble).
+    """int values in [-8, 7], [..., in, out] → packed int8 [..., in/2, out]:
+    row 2i biased by +8 in the low nibble ([0, 15]), row 2i+1 signed in the
+    high nibble.
 
     Packed-int8 storage instead of native ``jnp.int4``: this runtime's PJRT
     client cannot relayout S4 arrays across the dispatch boundary
     (device_put recursion, PERF.md dead ends), so int4 weights live as int8
     bytes and are nibble-unpacked inside the jitted computation — S4 never
-    exists outside a trace."""
+    exists outside a trace. The low nibble's +8 bias makes the in-kernel
+    unpack branch-free on hardware without int8 vector shifts: lo+8 is
+    ``p & 15`` (the sign correction folds into one small dot against
+    precomputed activation group-sums, ops/quant_matmul.py), hi is an
+    arithmetic ``p >> 4``."""
     qi = q.astype(jnp.int8)
-    lo = qi[..., 0::2, :] & 0xF
+    lo = (qi[..., 0::2, :] + 8) & 0xF
     hi = jnp.left_shift(qi[..., 1::2, :], 4)
     return (lo | hi).astype(jnp.int8)
 
 
 def unpack_int4(q8: jnp.ndarray) -> jnp.ndarray:
     """Packed int8 [..., in/2, out] → int8 values in [-8, 7] [..., in, out]
-    (sign-extending nibble unpack; the inverse of pack_int4)."""
-    lo = jnp.right_shift(jnp.left_shift(q8, 4), 4)
+    (the inverse of pack_int4: low nibble de-biased by 8, high nibble
+    sign-extended)."""
+    lo = (q8 & 0xF) - 8
     hi = jnp.right_shift(q8, 4)
     *lead, d2, dout = q8.shape
     return jnp.stack([lo, hi], axis=-2).reshape(*lead, d2 * 2, dout)
