@@ -227,3 +227,10 @@ def test_length_bucketing_bounds_recompiles():
     assert greedy_generate._cache_size() == n0 + 4
     rt.generate_batch([[3] * 200, [3] * 90], None, max_new_tokens=2)
     assert greedy_generate._cache_size() == n0 + 4
+
+    # chunked prefill through the serving config is output-identical
+    rt.cfg = rt.cfg.replace(prefill_chunk=1)
+    chunked, _ = rt.generate_batch(
+        [[3] * 40, [3] * 230], None, max_new_tokens=2
+    )
+    assert [t for t, _ in chunked] == [t for t, _ in outs[0]]

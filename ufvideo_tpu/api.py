@@ -218,6 +218,10 @@ class UFVideoRuntime:
             rng=jax.random.PRNGKey(seed),
             stop_sequences=tuple(tuple(s) for s in stop_sequences),
             kv_quant=bool(cfg.quant_kv),
+            prefill_chunk=(
+                cfg.prefill_chunk if 0 < cfg.prefill_chunk < b
+                and b % cfg.prefill_chunk == 0 else 0
+            ),
         )
         out = []
         for i in range(b):

@@ -240,6 +240,10 @@ class UFVideoConfig:
     # halves the cache HBM footprint + decode read traffic; scales fold
     # into the ragged decode kernel)
     quant_kv: bool = False
+    # chunked prefill for batched serving: >0 prefills this many sequences
+    # at a time (bit-identical; bounds the [B*S, intermediate] transients
+    # that OOM large batches — see models/generate.py)
+    prefill_chunk: int = 0
 
     @property
     def num_video_tokens(self) -> int:
