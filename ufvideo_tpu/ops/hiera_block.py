@@ -261,7 +261,7 @@ def _pick_bw(num_windows: int, tokens: int, num_heads: int):
     return bw, gw
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def fused_hiera_block(
     x: jnp.ndarray,  # [N, S, C] window-major tokens
     params: tuple,  # (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
@@ -272,14 +272,24 @@ def fused_hiera_block(
     interpret: bool = False,
     act: str = "gelu_exact",
     eps: float = 1e-6,
+    align_qkv: bool = False,
 ) -> jnp.ndarray:
     """One full pre-LN transformer block (dim==dim_out, no q-pool):
     Hiera windowed blocks and, with a single whole-sequence "window" per
-    image and act="gelu_tanh", SigLIP encoder layers."""
-    return _forward(x, params, num_heads, head_dim, head_pad, interpret, act, eps)
+    image and act="gelu_tanh", SigLIP encoder layers.
+
+    ``align_qkv``: give each head a 128-lane-aligned VMEM slot (one shuffle
+    pass per step) instead of packed ``head_pad``-lane slices. Measured
+    per-model: Hiera-L 42.0 → 47.8 f/s, but SigLIP 239 → 222 — callers pick
+    (UFVIDEO_HIERA_ALIGN_QKV=0/1 overrides both for experiments)."""
+    return _forward(
+        x, params, num_heads, head_dim, head_pad, interpret, act, eps,
+        align_qkv,
+    )
 
 
-def _forward(x, params, num_heads, head_dim, head_pad, interpret, act="gelu_exact", eps=1e-6):
+def _forward(x, params, num_heads, head_dim, head_pad, interpret,
+             act="gelu_exact", eps=1e-6, align_qkv=False):
     import os
 
     n, s, c = x.shape
@@ -291,9 +301,10 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret, act="gelu_exac
     mlp_dim = w1.shape[1]
     bw, gw = _pick_bw(n, s, num_heads)
     gelu_bf16 = os.environ.get("UFVIDEO_HIERA_GELU_BF16", "") == "1"
-    align_qkv = (
-        os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "") == "1" and hp % 128 != 0
-    )
+    env_align = os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "")
+    if env_align:
+        align_qkv = env_align == "1"
+    align_qkv = align_qkv and hp % 128 != 0
     hs = 128 if align_qkv else hp
     if align_qkv:
         # zero-row-pad each head's slice of wproj to its 128-lane slot so
@@ -875,14 +886,19 @@ def _qpool_bwd(num_heads, head_dim, head_pad, q_stride, interpret, act, eps,
 fused_qpool_block.defvjp(_qpool_fwd, _qpool_bwd)
 
 
-def _fwd(x, params, num_heads, head_dim, head_pad, interpret, act, eps):
+def _fwd(x, params, num_heads, head_dim, head_pad, interpret, act, eps,
+         align_qkv):
     return (
-        _forward(x, params, num_heads, head_dim, head_pad, interpret, act, eps),
+        _forward(
+            x, params, num_heads, head_dim, head_pad, interpret, act, eps,
+            align_qkv,
+        ),
         (x, params),
     )
 
 
-def _bwd(num_heads, head_dim, head_pad, interpret, act, eps, res, g):
+def _bwd(num_heads, head_dim, head_pad, interpret, act, eps, align_qkv,
+         res, g):
     x, params = res
     hp = head_pad or head_dim
     _, vjp = jax.vjp(
