@@ -92,7 +92,6 @@ def _kernel(
     gw: int,
     act: str,
     eps: float,
-    gelu_bf16: bool,
     align_qkv: bool,
 ):
     rows = bw * tokens
@@ -189,13 +188,10 @@ def _kernel(
         )
         + b1_ref[0, :]
     )
-    # GELU: f32 by default; bf16 when requested (the reference runs
-    # nn.GELU under bf16 autocast, so bf16 is parity-faithful — the f32
-    # path is the stricter-than-reference default)
-    if gelu_bf16:
-        hmid = _ACTS[act](hmid.astype(dtype))
-    else:
-        hmid = _ACTS[act](hmid).astype(dtype)
+    # GELU in f32 (stricter than the reference's bf16 autocast; a bf16-GELU
+    # knob was tried and removed — the A-S erf fails to lower on bf16
+    # operands and GROUP_ROWS-style wins weren't there, PERF.md r3)
+    hmid = _ACTS[act](hmid).astype(dtype)
     mlp = (
         jax.lax.dot_general(
             hmid, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -300,7 +296,6 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret,
      b2) = params
     mlp_dim = w1.shape[1]
     bw, gw = _pick_bw(n, s, num_heads)
-    gelu_bf16 = os.environ.get("UFVIDEO_HIERA_GELU_BF16", "") == "1"
     env_align = os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "")
     if env_align:
         align_qkv = env_align == "1"
@@ -315,8 +310,7 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret,
         ).reshape(num_heads * hs, c)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, head_dim=head_dim, head_pad=hp,
-        tokens=s, bw=bw, gw=gw, act=act, eps=eps,
-        gelu_bf16=gelu_bf16, align_qkv=align_qkv,
+        tokens=s, bw=bw, gw=gw, act=act, eps=eps, align_qkv=align_qkv,
     )
     f32 = jnp.float32
 
@@ -470,7 +464,6 @@ def _tail_kernel(
     *,
     act: str,
     eps: float,
-    gelu_bf16: bool,
 ):
     rows = sc_ref.shape[0] * sc_ref.shape[1]
     dtype = sc_ref.dtype
@@ -495,10 +488,7 @@ def _tail_kernel(
         )
         + b1_ref[0, :]
     )
-    if gelu_bf16:
-        hmid = _ACTS[act](hmid.astype(dtype))
-    else:
-        hmid = _ACTS[act](hmid).astype(dtype)
+    hmid = _ACTS[act](hmid).astype(dtype)
     mlp = (
         jax.lax.dot_general(
             hmid, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -559,7 +549,6 @@ def _tail_forward(shortcut, att, params, interpret, act, eps):
     m = w1.shape[1]
     if not interpret and jax.default_backend() != "tpu":
         return _tail_reference(shortcut, att, params, act, eps)
-    gelu_bf16 = os.environ.get("UFVIDEO_HIERA_GELU_BF16", "") == "1"
     bw = 1
     while bw * 2 * s <= 1024 and n % (bw * 2) == 0:
         bw *= 2
@@ -567,9 +556,7 @@ def _tail_forward(shortcut, att, params, interpret, act, eps):
     f32 = jnp.float32
     vec = lambda x_: x_.reshape(1, -1).astype(f32)
     return pl.pallas_call(
-        functools.partial(
-            _tail_kernel, act=act, eps=eps, gelu_bf16=gelu_bf16
-        ),
+        functools.partial(_tail_kernel, act=act, eps=eps),
         grid=(n // bw,),
         in_specs=[
             pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
