@@ -234,3 +234,19 @@ def test_length_bucketing_bounds_recompiles():
         [[3] * 40, [3] * 230], None, max_new_tokens=2
     )
     assert [t for t, _ in chunked] == [t for t, _ in outs[0]]
+
+
+def test_mm_infer_int4_llm_smoke():
+    """model_init honors quant_llm='int4' (packed kernels end-to-end: the
+    TPU analog of the reference's bnb 4-bit load, model/__init__.py:50-60)."""
+    from ufvideo_tpu.api import model_init
+
+    cfg = tiny_config().replace(quant_llm="int4")
+    model, _, tok = model_init(None, cfg=cfg)
+    q = model.params["llm"]["layers"]["mlp_down_proj"]["kernel_q"]
+    assert q.dtype == np.int8 or str(q.dtype) == "int8"
+    v = np.random.RandomState(0).randn(
+        cfg.budget.num_frames, cfg.vision.image_size, cfg.vision.image_size, 3
+    ).astype(np.float32)
+    out = mm_infer(v, "What happens?", model, tok, max_new_tokens=3)[0]
+    assert isinstance(out, str)

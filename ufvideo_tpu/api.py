@@ -354,7 +354,10 @@ def model_init(
         if cfg.quant_llm:
             from .quant import quantize_qwen2_params
 
-            params["llm"] = quantize_qwen2_params(params["llm"])
+            params["llm"] = quantize_qwen2_params(
+                params["llm"],
+                bits=4 if cfg.quant_llm in (4, "int4", "4bit") else 8,
+            )
     else:
         model = UFVideoModel(cfg)
         params = model.init_params(jax.random.PRNGKey(0))
