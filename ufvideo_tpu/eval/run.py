@@ -78,8 +78,20 @@ def run_benchmark(args, runtime=None) -> None:
     if runtime is not None:
         model, _, tokenizer = runtime
     else:
+        cfg = None
+        quant = getattr(args, "quant", "")
+        kvq = getattr(args, "kv_quant", False)
+        pchunk = getattr(args, "prefill_chunk", 0)
+        if quant or kvq or pchunk:
+            from ..configs import UFVideoConfig
+
+            cfg = UFVideoConfig(
+                quant_llm=quant or False, quant_kv=bool(kvq),
+                prefill_chunk=int(pchunk),
+            )
         model, _, tokenizer = model_init(
             args.model_path or None,
+            cfg=cfg,
             sam_path=args.sam_path or None,
             tokenizer_path=args.tokenizer_path or None,
         )
@@ -321,6 +333,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="samples per batched dispatch for QA benchmarks "
                         "(mvbench/tvg and the seg/refer family); "
                         "1 = reference-style bs=1 loop")
+    p.add_argument("--quant", default="", choices=["", "int8", "int4"],
+                   help="weight-only LLM quantization (the bnb 8/4-bit "
+                        "load analog; int8 is the 16 GB single-chip "
+                        "serving configuration)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (capacity lever for large --batch)")
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="prefill this many sequences at a time (bounds "
+                        "batched-prefill HBM transients; 0 = whole batch)")
     return p
 
 
