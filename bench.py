@@ -497,8 +497,12 @@ def main():
     fns = _mode_fns()
     if which == "all":
         for name, fn in fns.items():
-            metric, value, unit = fn()
-            print(json.dumps({"metric": metric, "value": round(float(value), 2), "unit": unit}), flush=True)
+            try:
+                metric, value, unit = fn()
+                print(json.dumps({"metric": metric, "value": round(float(value), 2), "unit": unit}), flush=True)
+            except Exception as e:  # e.g. e2e_batch16 (int8) exceeds HBM
+                print(json.dumps({"mode": name, "error": type(e).__name__}),
+                      flush=True)
         return
     if which != "driver":
         metric, value, unit = fns[which]()
