@@ -64,6 +64,19 @@ def _forward_image_jit(model: SAM2, params, images: jnp.ndarray):
     return model.apply({"params": params}, images, method=SAM2.forward_image)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _encode_frames_jit(model: SAM2, params, images: jnp.ndarray):
+    """forward_image trimmed to what FrameFeatures keeps: the three FPN
+    levels and ONE copy of the top-level sine pos embed. Returning only
+    these lets XLA dead-code the broadcast level-0/1 pos embeds — which are
+    never used downstream but would otherwise ride out of every chunk's
+    dispatch as [T, 256, 256, 256] live buffers (~2.7 GB across a 64-frame
+    serving batch; the batch-8 e2e OOM'd exactly here)."""
+    out = model.apply({"params": params}, images, method=SAM2.forward_image)
+    fpn = out["backbone_fpn"]
+    return fpn[0], fpn[1], fpn[2], out["vision_pos_enc"][2][0]
+
+
 def encode_video_frames(
     model: SAM2, params, images: jnp.ndarray, chunk: int = 8
 ) -> FrameFeatures:
@@ -75,21 +88,21 @@ def encode_video_frames(
     """
     t = images.shape[0]
     outs = []
+    pos2 = None
     for start in range(0, t, chunk):
         sl = images[start : start + chunk]
         if sl.shape[0] != chunk:
             pad = chunk - sl.shape[0]
             sl = jnp.pad(sl, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            out = _forward_image_jit(model, params, sl)
-            out = jax.tree.map(lambda x: x[: chunk - pad], out)
+            s0, s1, s2, pos2 = _encode_frames_jit(model, params, sl)
+            keep = chunk - pad
+            outs.append((s0[:keep], s1[:keep], s2[:keep]))
         else:
-            out = _forward_image_jit(model, params, sl)
-        outs.append(out)
+            s0, s1, s2, pos2 = _encode_frames_jit(model, params, sl)
+            outs.append((s0, s1, s2))
     feats = [
-        jnp.concatenate([o["backbone_fpn"][i] for o in outs], axis=0)
-        for i in range(3)
+        jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3)
     ]
-    pos2 = outs[0]["vision_pos_enc"][2][0]  # frame-invariant: keep one copy
     return FrameFeatures(feats[0], feats[1], feats[2], pos2)
 
 
