@@ -451,12 +451,12 @@ def bench_e2e(
 # each fallback value is explicitly flagged {"stale": true}. `python
 # bench.py all` prints the whole suite live.
 RECORDED = {
-    # mode -> (metric name, value, unit)   [recorded round 2, commit a4f91cc]
+    # mode -> (metric name, value, unit)   [recorded round 3]
     "vit_encode": ("vit_encode_frames_per_sec", 239.1, "frames/s/chip"),
-    "sam_encode": ("sam2_encode_frames_per_sec", 42.2, "frames/s/chip"),
+    "sam_encode": ("sam2_encode_frames_per_sec", 47.84, "frames/s/chip"),
     "decode_int8": ("qwen2_7b_decode_int8_tokens_per_sec", 90.2, "tokens/s/chip"),
     "prefill": ("qwen2_7b_prefill_tokens_per_sec", 12227.0, "tokens/s/chip"),
-    "e2e": ("pixrqa_e2e_videos_per_sec", 0.685, "videos/s/chip"),
+    "e2e": ("pixrqa_e2e_videos_per_sec", 0.71, "videos/s/chip"),
     "e2e_batch": ("pixrqa_e2e_videos_per_sec_batch8", 1.11, "videos/s/chip"),
 }
 
