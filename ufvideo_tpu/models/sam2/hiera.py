@@ -237,7 +237,7 @@ class MultiScaleBlock(nn.Module):
                 self.q_stride is not None
                 and self.dim != self.dim_out
                 and x.shape[1] == self.window_side ** 2
-                and _os.environ.get("UFVIDEO_QPOOL_FUSED", "0") == "1"
+                and _os.environ.get("UFVIDEO_QPOOL_FUSED", "1") == "1"
             ):
                 # whole-block fused q-pool kernel: computes only the pooled
                 # sq = S/(sy·sx) q rows (ops/hiera_block.fused_qpool_block)
