@@ -248,3 +248,75 @@ def test_qpool_and_global_blocks_interpret_match_generic():
     gout = gblk.apply({"params": gparams}, gx)
     assert gout.shape == gx.shape
     assert np.isfinite(np.asarray(gout)).all()
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("align", [False, True, "padw"])
+def test_align_modes_interpret_match_reference(align):
+    """All align modes (off / scratch shuffle / zero-col-padded wqkv) are
+    exact rearrangements — identical math."""
+    n, s, c, heads = 16, 16, 288, 4
+    hp = c // heads
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, s, c), jnp.float32)
+    params = _params(jax.random.PRNGKey(1), c, heads, hp, 4 * c)
+    got = fused_hiera_block(
+        x, params, heads, hp, 0, interpret=True, align_qkv=align
+    )
+    want = _reference(x, params, heads, hp, hp)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("align", [True, "padw"])
+def test_stage_kernel_interpret_matches_block_chain(align):
+    """fused_hiera_stage == folding fused_hiera_block over the blocks."""
+    from ufvideo_tpu.ops.hiera_block import fused_hiera_stage
+
+    n, s, c, heads = 8, 64, 144, 2
+    hp = c // heads
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, s, c), jnp.float32)
+    ps = tuple(
+        _params(jax.random.PRNGKey(10 + i), c, heads, hp, 4 * c)
+        for i in range(3)
+    )
+    got = fused_hiera_stage(
+        x, ps, heads, hp, 0, True, "gelu_exact", 1e-6, align
+    )
+    want = x
+    for p in ps:
+        want = _reference(want, p, heads, hp, hp)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_hiera_stage_fusion_model_equivalence(monkeypatch):
+    """Hiera with UFVIDEO_HIERA_STAGE_NB>1 groups runs of windowed blocks
+    through fused_hiera_stage; params and outputs must be identical to the
+    per-block path (CPU fallbacks share the same reference math)."""
+    from ufvideo_tpu.configs import SAM2HieraConfig
+    from ufvideo_tpu.models.sam2.hiera import Hiera
+
+    cfg = SAM2HieraConfig(
+        embed_dim=16, num_heads=1, stages=(2, 3, 2, 1),
+        global_att_blocks=(4,), window_spec=(4, 2, 4, 2),
+    )
+    m = Hiera(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    x = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (1, 32, 32, 3), jnp.float32
+    )
+    monkeypatch.setenv("UFVIDEO_HIERA_STAGE_NB", "1")
+    p1 = m.init(jax.random.PRNGKey(1), x)["params"]
+    o1 = m.apply({"params": p1}, x)
+    monkeypatch.setenv("UFVIDEO_HIERA_STAGE_NB", "4")
+    p4 = m.init(jax.random.PRNGKey(1), x)["params"]
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(
+        p4
+    )
+    o4 = m.apply({"params": p1}, x)
+    for a, b in zip(o1, o4):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        )

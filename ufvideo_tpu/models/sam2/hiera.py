@@ -43,6 +43,7 @@ from ...ops.attention import attention, window_dense_attention
 from ...ops.hiera_block import (
     fused_block_tail,
     fused_hiera_block,
+    fused_hiera_stage,
     fused_ln_matmul,
     fused_qpool_block,
 )
@@ -328,6 +329,38 @@ class MultiScaleBlock(nn.Module):
         return x + m
 
 
+class _FusedBlockParams(nn.Module):
+    """Declares ONE MultiScaleBlock's params (identical tree/names to the
+    module path) and returns the 12-tuple the fused kernels consume — used
+    by the multi-block stage-fusion path so checkpoints stay bit-identical
+    whether or not blocks are grouped."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    head_pad: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        hd = self.dim // self.num_heads
+        hp = self.head_pad or hd
+        hidden = int(self.dim * self.mlp_ratio)
+        ln1_s, ln1_b = _LNP(self.dim, self.param_dtype, name="norm1")()
+        wq, bq, wp, bp = _AttnP(
+            self.dim, 3 * self.num_heads * hp, self.num_heads * hp,
+            self.param_dtype, name="attn",
+        )()
+        ln2_s, ln2_b = _LNP(self.dim, self.param_dtype, name="norm2")()
+        w1, b1 = _DenseP(
+            self.dim, hidden, self.param_dtype, name="mlp_layers_0"
+        )()
+        w2, b2 = _DenseP(
+            hidden, self.dim, self.param_dtype, name="mlp_layers_1"
+        )()
+        return (ln1_s, ln1_b, wq, bq, wp, bp, ln2_s, ln2_b, w1, b1, w2, b2)
+
+
 class Hiera(nn.Module):
     """Multi-stage trunk returning per-stage NHWC feature maps
     (sam2.py:1134-1258)."""
@@ -376,6 +409,36 @@ class Hiera(nn.Module):
         stage_ends = [sum(stages[: i + 1]) - 1 for i in range(len(stages))]
         q_pool_blocks = [e + 1 for e in stage_ends[:-1]]
 
+        # per-block static metadata prepass (mirrors the loop state below):
+        # (dim_in, dim_out, num_heads, pool, window_size)
+        import os
+
+        metas = []
+        _ed, _nh, _cs = cfg.embed_dim, cfg.num_heads, 1
+        for i in range(depth):
+            _do = _ed
+            _wsz = cfg.window_spec[_cs - 1]
+            if i in cfg.global_att_blocks:
+                _wsz = 0
+            if i - 1 in stage_ends:
+                _do = int(_ed * cfg.dim_mul)
+                _nh = int(_nh * cfg.head_mul)
+                _cs += 1
+            metas.append((_ed, _do, _nh, cfg.q_stride if i in q_pool_blocks
+                          else None, _wsz))
+            _ed = _do
+
+        def _stage_fusable(m):
+            din, dout, nh_, pool_, wsz_ = m
+            return (
+                pool_ is None and din == dout and 0 < wsz_ ** 2 <= 512
+            )
+
+        # stage fusion: carry each grid step's rows through up to
+        # UFVIDEO_HIERA_STAGE_NB consecutive identical-shape windowed blocks
+        # inside one Pallas call (ops/hiera_block.fused_hiera_stage)
+        stage_nb = int(os.environ.get("UFVIDEO_HIERA_STAGE_NB", "1"))
+
         outputs: List[jnp.ndarray] = []
         embed_dim, num_heads, cur_stage = cfg.embed_dim, cfg.num_heads, 1
         # token layout state: ``tokens`` is [B*nW, side², C] window-major
@@ -384,7 +447,8 @@ class Hiera(nn.Module):
         tokens: Optional[jnp.ndarray] = None
         side = 0
         pad_hw = (h, w)
-        for i in range(depth):
+        i = 0
+        while i < depth:
             dim_out = embed_dim
             window_size = cfg.window_spec[cur_stage - 1]
             if i in cfg.global_att_blocks:
@@ -409,6 +473,44 @@ class Hiera(nn.Module):
                 assert pad_hw == (h, w), (
                     "global attention requires an unpadded token grid"
                 )
+
+            if (
+                stage_nb > 1
+                and _stage_fusable(metas[i])
+                and window_size == side
+                and tokens is not None
+                and tokens.shape[1] == side * side
+            ):
+                # group up to stage_nb identical consecutive fusable blocks.
+                # A run can never span a stage boundary or a global block:
+                # the next stage's entry block has q-pooling + a dim change
+                # and global blocks have window_size 0, so metas differ.
+                js = [i]
+                while (
+                    len(js) < stage_nb
+                    and js[-1] + 1 < depth
+                    and metas[js[-1] + 1] == metas[i]
+                ):
+                    js.append(js[-1] + 1)
+                if len(js) > 1:
+                    plist = tuple(
+                        _FusedBlockParams(
+                            dim=embed_dim, num_heads=num_heads,
+                            mlp_ratio=cfg.mlp_ratio, head_pad=cfg.head_pad,
+                            param_dtype=self.param_dtype, name=f"blocks_{j}",
+                        )()
+                        for j in js
+                    )
+                    hd = embed_dim // num_heads
+                    tokens = fused_hiera_stage(
+                        tokens.astype(self.dtype), plist, num_heads, hd,
+                        cfg.head_pad, False, "gelu_exact", 1e-6, True,
+                    )
+                    if js[-1] in stage_ends:
+                        x = from_windows(tokens, side, pad_hw, (h, w))
+                        outputs.append(x)
+                    i = js[-1] + 1
+                    continue
 
             blk_in = tokens
             if window_size == 0:
@@ -442,6 +544,7 @@ class Hiera(nn.Module):
             if i in stage_ends:
                 x = from_windows(tokens, side, pad_hw, (h, w))
                 outputs.append(x)
+            i += 1
         return outputs  # low→high channel count (finest→coarsest spatial)
 
 

@@ -62,7 +62,11 @@ def _gelu_tanh(x):
     )
 
 
-_ACTS = {"gelu_exact": _gelu_exact, "gelu_tanh": _gelu_tanh}
+_ACTS = {
+    "gelu_exact": _gelu_exact,
+    "gelu_tanh": _gelu_tanh,
+    "identity": lambda x: x,  # diagnostic only: measures the GELU VPU share
+}
 
 
 def _layernorm(x32, scale, bias, eps=1e-6):
@@ -72,41 +76,41 @@ def _layernorm(x32, scale, bias, eps=1e-6):
     return c * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _kernel(
-    x_ref,  # [bw, S, C]
-    ln1_s_ref, ln1_b_ref,  # [1, C] f32
-    wqkv_ref, bqkv_ref,  # [C, 3*H*hp], [1, 3*H*hp]
-    wproj_ref, bproj_ref,  # [H*hs, C], [1, C]  (hs = 128-aligned slot w/ align_qkv)
-    ln2_s_ref, ln2_b_ref,  # [1, C]
-    w1_ref, b1_ref,  # [C, M], [1, M]
-    w2_ref, b2_ref,  # [M, C], [1, C]
-    o_ref,  # [bw, S, C]
-    att_ref,  # scratch [bw*S, H*hs]
-    qkv_ref,  # scratch [bw*S, 3*H*hs] (None unless align_qkv)
+def _block_body(
+    x,  # [rows, C] value (residual stream)
+    refs,  # 12 parameter refs: (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+    #                            ln2_s, ln2_b, w1, b1, w2, b2)
+    att_ref,  # scratch [rows, H*hs]
+    qkv_ref,  # scratch [rows, 3*H*hs] (None unless align == "scratch")
     *,
     num_heads: int,
     head_dim: int,
     head_pad: int,
     tokens: int,
-    bw: int,
     gw: int,
     act: str,
     eps: float,
-    align_qkv: bool,
+    align: str,  # "off" | "scratch" | "padw"
 ):
-    rows = bw * tokens
+    """One whole pre-LN block on a resident [rows, C] value. Shared by the
+    single-block kernel and the multi-block stage kernel (the whole stage is
+    row-parallel: windows never interact across same-window blocks)."""
+    (ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref) = refs
+    rows = x.shape[0]
     hp = head_pad
     # hs: lane stride of one head inside the attention scratches. With
-    # align_qkv every head occupies a 128-lane-aligned slot so the hot
-    # loop's q/k/v reads and att writes are tile-aligned (no vector
-    # shuffles); the zero lanes contribute nothing to either contraction.
-    hs = 128 if align_qkv else hp
+    # align="scratch" every head occupies a 128-lane-aligned slot filled by
+    # an explicit shuffle pass; with "padw" the qkv weight COLUMNS are
+    # zero-padded per head slot so the matmul itself writes aligned slots
+    # (no shuffle, more qkv-dot FLOPs). Zero lanes are inert in both
+    # contractions either way.
+    hs = 128 if align in ("scratch", "padw") else hp
     hw = num_heads * hp
     hws = num_heads * hs
     scale = head_dim ** -0.5
-    dtype = x_ref.dtype
+    dtype = x.dtype
 
-    x = x_ref[...].reshape(rows, x_ref.shape[-1])
     xn = _layernorm(
         x.astype(jnp.float32), ln1_s_ref[0, :], ln1_b_ref[0, :], eps
     ).astype(dtype)
@@ -119,7 +123,7 @@ def _kernel(
         )
         + bqkv_ref[0, :]
     ).astype(dtype)
-    if align_qkv:
+    if align == "scratch":
         # one shuffle pass per step: packed heads → 128-aligned slots.
         # Full-slot stores (zero pad lanes) — scratch memory is otherwise
         # uninitialized and the pad lanes enter the contractions.
@@ -137,20 +141,20 @@ def _kernel(
     for g in range(rows // grows):
         sl = slice(g * grows, (g + 1) * grows)
         for h in range(num_heads):
-            if align_qkv:
+            if align == "scratch":
                 q = (
                     qkv_ref[sl, h * hs : (h + 1) * hs].astype(jnp.float32)
                     * (scale * _LOG2E)
                 ).astype(dtype)
                 k = qkv_ref[sl, hws + h * hs : hws + (h + 1) * hs]
                 v = qkv_ref[sl, 2 * hws + h * hs : 2 * hws + (h + 1) * hs]
-            else:
+            else:  # "padw" reads aligned slots straight from the dot output
                 q = (
-                    qkv[sl, h * hp : (h + 1) * hp].astype(jnp.float32)
+                    qkv[sl, h * hs : (h + 1) * hs].astype(jnp.float32)
                     * (scale * _LOG2E)
                 ).astype(dtype)
-                k = qkv[sl, hw + h * hp : hw + (h + 1) * hp]
-                v = qkv[sl, 2 * hw + h * hp : 2 * hw + (h + 1) * hp]
+                k = qkv[sl, hws + h * hs : hws + (h + 1) * hs]
+                v = qkv[sl, 2 * hws + h * hs : 2 * hws + (h + 1) * hs]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -200,7 +204,30 @@ def _kernel(
         )
         + b2_ref[0, :]
     ).astype(dtype)
-    out = x1 + mlp
+    return x1 + mlp
+
+
+def _kernel(
+    x_ref,  # [bw, S, C]
+    *args,  # 12 param refs, o_ref, att_ref, qkv_ref
+    num_heads: int,
+    head_dim: int,
+    head_pad: int,
+    tokens: int,
+    bw: int,
+    gw: int,
+    act: str,
+    eps: float,
+    align: str,
+):
+    refs, (o_ref, att_ref, qkv_ref) = args[:12], args[12:]
+    rows = bw * tokens
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])
+    out = _block_body(
+        x, refs, att_ref, qkv_ref, num_heads=num_heads, head_dim=head_dim,
+        head_pad=head_pad, tokens=tokens, gw=gw, act=act, eps=eps,
+        align=align,
+    )
     o_ref[...] = out.reshape(o_ref.shape)
 
 
@@ -296,21 +323,35 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret,
      b2) = params
     mlp_dim = w1.shape[1]
     bw, gw = _pick_bw(n, s, num_heads)
+    align = {True: "scratch", False: "off"}.get(align_qkv, align_qkv)
     env_align = os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "")
     if env_align:
-        align_qkv = env_align == "1"
-    align_qkv = align_qkv and hp % 128 != 0
-    hs = 128 if align_qkv else hp
-    if align_qkv:
+        align = {"0": "off", "1": "scratch"}.get(env_align, env_align)
+    if hp % 128 == 0:
+        align = "off"
+    hs = 128 if align in ("scratch", "padw") else hp
+    if align in ("scratch", "padw"):
         # zero-row-pad each head's slice of wproj to its 128-lane slot so
         # the aligned att scratch contracts directly (zero rows are inert)
         wp = wproj.reshape(num_heads, hp, c)
         wproj = jnp.concatenate(
             [wp, jnp.zeros((num_heads, hs - hp, c), wproj.dtype)], axis=1
         ).reshape(num_heads * hs, c)
+    if align == "padw":
+        # zero-pad the qkv weight COLUMNS (and bias) per head slot: the qkv
+        # dot then writes 128-aligned slots directly — no shuffle pass, at
+        # the cost of wider qkv-dot FLOPs (inert zero columns)
+        wq3 = wqkv.reshape(c, 3 * num_heads, hp)
+        wqkv = jnp.concatenate(
+            [wq3, jnp.zeros((c, 3 * num_heads, hs - hp), wqkv.dtype)], axis=2
+        ).reshape(c, 3 * num_heads * hs)
+        bq3 = bqkv.reshape(3 * num_heads, hp)
+        bqkv = jnp.concatenate(
+            [bq3, jnp.zeros((3 * num_heads, hs - hp), bqkv.dtype)], axis=1
+        ).reshape(3 * num_heads * hs)
     kernel = functools.partial(
         _kernel, num_heads=num_heads, head_dim=head_dim, head_pad=hp,
-        tokens=s, bw=bw, gw=gw, act=act, eps=eps, align_qkv=align_qkv,
+        tokens=s, bw=bw, gw=gw, act=act, eps=eps, align=align,
     )
     f32 = jnp.float32
 
@@ -335,7 +376,8 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret,
         scratch_shapes=[
             pltpu.VMEM((bw * s, num_heads * hs), x.dtype),
             pltpu.VMEM(
-                (bw * s, 3 * num_heads * hs) if align_qkv else (8, 128),
+                (bw * s, 3 * num_heads * hs) if align == "scratch"
+                else (8, 128),
                 x.dtype,
             ),
         ],
@@ -352,6 +394,173 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret,
         w1.astype(x.dtype), vec(b1, f32),
         w2.astype(x.dtype), vec(b2, f32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-block stage kernel: a run of consecutive same-shape windowed blocks
+# (dim == dim_out, same window side) is row-parallel END TO END — windows
+# never exchange information across such blocks — so a grid step can carry
+# its ~1024 rows through SEVERAL blocks back-to-back while they are VMEM-
+# resident. Amortizes the per-step fixed costs (DMA ramp, LN/attention
+# pipeline bubbles) that dominate the small-C stages.
+# ---------------------------------------------------------------------------
+
+
+def _stage_kernel(
+    x_ref,  # [bw, S, C]
+    *args,  # 12*nb param refs, o_ref, att_ref, qkv_ref
+    nblocks: int,
+    num_heads: int,
+    head_dim: int,
+    head_pad: int,
+    tokens: int,
+    bw: int,
+    gw: int,
+    act: str,
+    eps: float,
+    align: str,
+):
+    prefs = args[: 12 * nblocks]
+    o_ref, att_ref, qkv_ref = args[12 * nblocks :]
+    rows = bw * tokens
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])
+    for b in range(nblocks):
+        x = _block_body(
+            x, prefs[12 * b : 12 * (b + 1)], att_ref, qkv_ref,
+            num_heads=num_heads, head_dim=head_dim, head_pad=head_pad,
+            tokens=tokens, gw=gw, act=act, eps=eps, align=align,
+        )
+    o_ref[...] = x.reshape(o_ref.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def fused_hiera_stage(
+    x: jnp.ndarray,  # [N, S, C] window-major tokens
+    params_list: tuple,  # tuple of per-block 12-tuples (fused_hiera_block
+    #                      ordering)
+    num_heads: int,
+    head_dim: int,
+    head_pad: int = 0,
+    interpret: bool = False,
+    act: str = "gelu_exact",
+    eps: float = 1e-6,
+    align_qkv: bool = False,
+) -> jnp.ndarray:
+    """A run of ``len(params_list)`` consecutive whole blocks in ONE Pallas
+    call (each grid step advances its rows through all of them). Math is
+    identical to folding fused_hiera_block over the list."""
+    return _stage_forward(
+        x, params_list, num_heads, head_dim, head_pad, interpret, act, eps,
+        align_qkv,
+    )
+
+
+def _stage_forward(x, params_list, num_heads, head_dim, head_pad, interpret,
+                   act, eps, align_qkv):
+    import os
+
+    n, s, c = x.shape
+    hp = head_pad or head_dim
+    if not interpret and jax.default_backend() != "tpu":
+        for p in params_list:
+            x = _reference(x, p, num_heads, head_dim, hp, act, eps)
+        return x
+    nb = len(params_list)
+    mlp_dim = params_list[0][8].shape[1]
+    bw, gw = _pick_bw(n, s, num_heads)
+    align = {True: "scratch", False: "off"}.get(align_qkv, align_qkv)
+    env_align = os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "")
+    if env_align:
+        align = {"0": "off", "1": "scratch"}.get(env_align, env_align)
+    if hp % 128 == 0:
+        align = "off"
+    hs = 128 if align in ("scratch", "padw") else hp
+
+    def prep(p):
+        (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
+         b2) = p
+        if align in ("scratch", "padw"):
+            wp = wproj.reshape(num_heads, hp, c)
+            wproj = jnp.concatenate(
+                [wp, jnp.zeros((num_heads, hs - hp, c), wproj.dtype)], axis=1
+            ).reshape(num_heads * hs, c)
+        if align == "padw":
+            wq3 = wqkv.reshape(c, 3 * num_heads, hp)
+            wqkv = jnp.concatenate(
+                [wq3, jnp.zeros((c, 3 * num_heads, hs - hp), wqkv.dtype)],
+                axis=2,
+            ).reshape(c, 3 * num_heads * hs)
+            bq3 = bqkv.reshape(3 * num_heads, hp)
+            bqkv = jnp.concatenate(
+                [bq3, jnp.zeros((3 * num_heads, hs - hp), bqkv.dtype)], axis=1
+            ).reshape(3 * num_heads * hs)
+        f32 = jnp.float32
+        vec = lambda a, dt=None: (
+            a.reshape(1, -1).astype(dt) if dt else a.reshape(1, -1)
+        )
+        return (
+            vec(ln1_s, f32), vec(ln1_b, f32),
+            wqkv.astype(x.dtype), vec(bqkv, f32),
+            wproj.astype(x.dtype), vec(bproj, f32),
+            vec(ln2_s, f32), vec(ln2_b, f32),
+            w1.astype(x.dtype), vec(b1, f32),
+            w2.astype(x.dtype), vec(b2, f32),
+        )
+
+    flat = [a for p in params_list for a in prep(p)]
+    kernel = functools.partial(
+        _stage_kernel, nblocks=nb, num_heads=num_heads, head_dim=head_dim,
+        head_pad=hp, tokens=s, bw=bw, gw=gw, act=act, eps=eps, align=align,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bw,),
+        in_specs=[pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0))]
+        + [full(a.shape) for a in flat],
+        out_specs=pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bw * s, num_heads * hs), x.dtype),
+            pltpu.VMEM(
+                (bw * s, 3 * num_heads * hs) if align == "scratch"
+                else (8, 128),
+                x.dtype,
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(x, *flat)
+
+
+def _stage_fwd(x, params_list, num_heads, head_dim, head_pad, interpret, act,
+               eps, align_qkv):
+    return (
+        fused_hiera_stage(
+            x, params_list, num_heads, head_dim, head_pad, interpret, act,
+            eps, align_qkv,
+        ),
+        (x, params_list),
+    )
+
+
+def _stage_bwd(num_heads, head_dim, head_pad, interpret, act, eps, align_qkv,
+               res, g):
+    x, params_list = res
+    hp = head_pad or head_dim
+
+    def ref_chain(xx, pl_):
+        for p in pl_:
+            xx = _reference(xx, p, num_heads, head_dim, hp, act, eps)
+        return xx
+
+    _, vjp = jax.vjp(ref_chain, x, params_list)
+    return vjp(g)
+
+
+fused_hiera_stage.defvjp(_stage_fwd, _stage_bwd)
 
 
 # ---------------------------------------------------------------------------
