@@ -456,8 +456,8 @@ RECORDED = {
     "sam_encode": ("sam2_encode_frames_per_sec", 47.84, "frames/s/chip"),
     "decode_int8": ("qwen2_7b_decode_int8_tokens_per_sec", 90.2, "tokens/s/chip"),
     "prefill": ("qwen2_7b_prefill_tokens_per_sec", 12227.0, "tokens/s/chip"),
-    "e2e": ("pixrqa_e2e_videos_per_sec", 0.71, "videos/s/chip"),
-    "e2e_batch": ("pixrqa_e2e_videos_per_sec_batch8", 1.11, "videos/s/chip"),
+    "e2e": ("pixrqa_e2e_videos_per_sec", 0.73, "videos/s/chip"),
+    "e2e_batch": ("pixrqa_e2e_videos_per_sec_batch8", 1.20, "videos/s/chip"),
 }
 
 # Modes the driver line re-measures live, cheapest first, with per-mode cost
