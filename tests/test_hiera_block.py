@@ -320,3 +320,27 @@ def test_hiera_stage_fusion_model_equivalence(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
         )
+
+
+@pytest.mark.smoke
+def test_gelu_poly_matches_exact():
+    """Minimax poly GELU: |err| <= ~1e-4 everywhere vs the exact erf form
+    (below the kernels' bf16 output quantization)."""
+    from ufvideo_tpu.ops.hiera_block import _gelu_exact, _gelu_poly
+
+    x = jnp.linspace(-12.0, 12.0, 100001, dtype=jnp.float32)
+    err = np.abs(np.asarray(_gelu_poly(x)) - np.asarray(_gelu_exact(x)))
+    assert err.max() < 2e-4, err.max()
+
+
+@pytest.mark.smoke
+def test_gelu_act_env_selects_kernel_act(monkeypatch):
+    from ufvideo_tpu.models.sam2.hiera import _hiera_act
+
+    assert _hiera_act() == "gelu_exact"
+    monkeypatch.setenv("UFVIDEO_HIERA_GELU", "poly")
+    assert _hiera_act() == "gelu_poly"
+    monkeypatch.setenv("UFVIDEO_HIERA_GELU", "poly_bf16")
+    assert _hiera_act() == "gelu_poly_bf16"
+    monkeypatch.setenv("UFVIDEO_HIERA_GELU", "bogus")
+    assert _hiera_act() == "gelu_exact"

@@ -56,6 +56,19 @@ from ...ops.window_attention import fused_window_attention
 from .common import position_embedding_sine
 
 
+def _hiera_act() -> str:
+    """Kernel GELU implementation: exact A-S erf (default) or the minimax
+    polynomial (UFVIDEO_HIERA_GELU=poly|poly_bf16 — |err| ≤ 1.1e-4 vs exact,
+    below the kernels' bf16 output quantization; PERF.md r3)."""
+    import os
+
+    return {
+        "exact": "gelu_exact",
+        "poly": "gelu_poly",
+        "poly_bf16": "gelu_poly_bf16",
+    }.get(os.environ.get("UFVIDEO_HIERA_GELU", "exact"), "gelu_exact")
+
+
 def to_windows(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
     """[B, H, W, C] → ([B*nW, ws*ws, C] window-major tokens, (Hp, Wp))."""
     b, h, w, c = x.shape
@@ -195,6 +208,7 @@ class MultiScaleBlock(nn.Module):
                 x.astype(self.dtype),
                 (ln1_s, ln1_b, wq, bq, wp, bp, ln2_s, ln2_b, w1, b1, w2, b2),
                 self.num_heads, hd, self.head_pad,
+                act=_hiera_act(),
                 align_qkv=True,  # 42.0 -> 47.8 f/s for Hiera-L (PERF.md r3)
             )
 
@@ -247,6 +261,7 @@ class MultiScaleBlock(nn.Module):
                     (ln1_s, ln1_b, wfront, bfront, wp, bp, ln2_s, ln2_b,
                      w1, b1, w2, b2),
                     self.num_heads, hd, self.head_pad, self.q_stride,
+                    act=_hiera_act(),
                 )
 
             front = fused_ln_matmul(
@@ -284,7 +299,8 @@ class MultiScaleBlock(nn.Module):
                 )
                 o = o.reshape(n, s, hw)
             return fused_block_tail(
-                shortcut, o, (wp, bp, ln2_s, ln2_b, w1, b1, w2, b2)
+                shortcut, o, (wp, bp, ln2_s, ln2_b, w1, b1, w2, b2),
+                act=_hiera_act(),
             )
 
         ln = lambda name: nn.LayerNorm(
@@ -504,7 +520,7 @@ class Hiera(nn.Module):
                     hd = embed_dim // num_heads
                     tokens = fused_hiera_stage(
                         tokens.astype(self.dtype), plist, num_heads, hd,
-                        cfg.head_pad, False, "gelu_exact", 1e-6, True,
+                        cfg.head_pad, False, _hiera_act(), 1e-6, True,
                     )
                     if js[-1] in stage_ends:
                         x = from_windows(tokens, side, pad_hw, (h, w))

@@ -62,9 +62,42 @@ def _gelu_tanh(x):
     )
 
 
+# Minimax polynomial GELU (FMA-only — no transcendental, no divide):
+# gelu(x) = x * (0.5 + xc*Q(t)), xc = clip(x, ±B), t = 2*xc²/B² - 1,
+# Q a degree-9 monomial in t (Chebyshev-fit + Lawson minimax, this repo's
+# round-3 notes). Max |error| vs exact erf-GELU: 1.1e-4 in f32 — invisible
+# under the kernel's bf16 output cast (bf16 quantization alone is ~3e-2 at
+# the tails). Cuts the VPU cost of the A-S erf (exp + divide per element).
+_GELU_POLY_B = 4.5
+_GELU_POLY_CT = (
+    0.1569060442880844, -0.07718588485083337, 0.054637490167050023,
+    -0.04023694830724554, 0.02885765287056899, -0.018484084923067773,
+    0.009653220256290044, -0.006070030404158596, 0.004962705354373479,
+    -0.0019306118341346908,
+)
+
+
+def _gelu_poly(x):
+    b = _GELU_POLY_B
+    xc = jnp.clip(x, -b, b)
+    t = xc * xc * (2.0 / (b * b)) - 1.0
+    q = jnp.full_like(t, _GELU_POLY_CT[-1])
+    for ck in _GELU_POLY_CT[-2::-1]:
+        q = q * t + ck
+    return x * (0.5 + xc * q)
+
+
+def _gelu_poly_bf16(x):
+    """Same polynomial evaluated at bf16 vector width (2x VPU throughput);
+    added noise is below the kernel's bf16 output quantization."""
+    return _gelu_poly(x.astype(jnp.bfloat16))
+
+
 _ACTS = {
     "gelu_exact": _gelu_exact,
     "gelu_tanh": _gelu_tanh,
+    "gelu_poly": _gelu_poly,
+    "gelu_poly_bf16": _gelu_poly_bf16,
     "identity": lambda x: x,  # diagnostic only: measures the GELU VPU share
 }
 
