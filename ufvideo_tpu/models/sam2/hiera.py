@@ -497,13 +497,21 @@ class Hiera(nn.Module):
                 and tokens is not None
                 and tokens.shape[1] == side * side
             ):
-                # group up to stage_nb identical consecutive fusable blocks.
+                # group up to stage_nb identical consecutive fusable blocks,
+                # bounded by a per-call unrolled-attention-dot budget (~96
+                # q/k dot pairs): Hiera-L stage-4 singles already sit at 64
+                # pairs and a fused pair blew past a 25-min Mosaic compile.
                 # A run can never span a stage boundary or a global block:
                 # the next stage's entry block has q-pooling + a dim change
                 # and global blocks have window_size 0, so metas differ.
+                from ...ops.hiera_block import _pick_bw
+
+                bw_, gw_ = _pick_bw(tokens.shape[0], side * side, num_heads)
+                pairs = (bw_ // gw_) * num_heads
+                nb_cap = max(1, 96 // max(pairs, 1))
                 js = [i]
                 while (
-                    len(js) < stage_nb
+                    len(js) < min(stage_nb, nb_cap)
                     and js[-1] + 1 < depth
                     and metas[js[-1] + 1] == metas[i]
                 ):
