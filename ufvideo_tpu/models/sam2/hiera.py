@@ -293,10 +293,25 @@ class MultiScaleBlock(nn.Module):
                 if self.dim != self.dim_out:
                     shortcut = front[..., 3 * hw :]
                 parts = qkv.reshape(n, s, 3, self.num_heads, hp)
-                o = attention(
-                    parts[:, :, 0], parts[:, :, 1], parts[:, :, 2],
-                    scale=scale,
-                )
+                q_, k_, v_ = parts[:, :, 0], parts[:, :, 1], parts[:, :, 2]
+                pad_d = 0
+                if (
+                    hp % 128 != 0
+                    and _os.environ.get("UFVIDEO_GLOBAL_PAD_HEADS", "0")
+                    == "1"
+                ):
+                    # zero-pad head_dim to a full 128-lane tile: the flash
+                    # kernel's score/pv dots run at full MXU lane density
+                    # (d=72 contracts at 56% otherwise); zero lanes are
+                    # inert and sliced off the output
+                    pad_d = 128 - hp % 128
+                    padw = ((0, 0), (0, 0), (0, 0), (0, pad_d))
+                    q_ = jnp.pad(q_, padw)
+                    k_ = jnp.pad(k_, padw)
+                    v_ = jnp.pad(v_, padw)
+                o = attention(q_, k_, v_, scale=scale)
+                if pad_d:
+                    o = o[..., :hp]
                 o = o.reshape(n, s, hw)
             return fused_block_tail(
                 shortcut, o, (wp, bp, ln2_s, ln2_b, w1, b1, w2, b2),
