@@ -344,3 +344,14 @@ def test_gelu_act_env_selects_kernel_act(monkeypatch):
     assert _hiera_act() == "gelu_poly_bf16"
     monkeypatch.setenv("UFVIDEO_HIERA_GELU", "bogus")
     assert _hiera_act() == "gelu_exact"
+
+
+@pytest.mark.smoke
+def test_gelu_tanh_poly_matches_tanh_form():
+    from ufvideo_tpu.ops.hiera_block import _gelu_tanh, _gelu_tanh_poly
+
+    x = jnp.linspace(-12.0, 12.0, 100001, dtype=jnp.float32)
+    err = np.abs(
+        np.asarray(_gelu_tanh_poly(x)) - np.asarray(_gelu_tanh(x))
+    )
+    assert err.max() < 1e-4, err.max()

@@ -96,11 +96,18 @@ class SiglipEncoderLayer(nn.Module):
                 cfg.intermediate_size, self.param_dtype,
                 qkv_name="fc1", proj_name="fc2", name="mlp",
             )()
+            import os
+
+            act = {
+                "tanh": "gelu_tanh",
+                "poly": "gelu_tanh_poly",
+                "poly_bf16": "gelu_tanh_poly_bf16",
+            }.get(os.environ.get("UFVIDEO_SIGLIP_GELU", "tanh"), "gelu_tanh")
             out = fused_hiera_block(
                 x.astype(self.dtype),
                 (*ln1, wq, bq, wp, bp, *ln2, w1, b1, w2, b2),
                 cfg.num_heads, cfg.head_dim, 0,
-                act="gelu_tanh", eps=cfg.layer_norm_eps,
+                act=act, eps=cfg.layer_norm_eps,
             )
             return out, None
 

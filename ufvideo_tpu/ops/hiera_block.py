@@ -77,14 +77,28 @@ _GELU_POLY_CT = (
 )
 
 
-def _gelu_poly(x):
+# Companion fit of HF's gelu_pytorch_tanh (SigLIP hidden_act): |err| vs the
+# tanh form ≤ 6.2e-6 in f64 — replaces the transcendental tanh per element.
+_GELU_TANH_POLY_CT = (
+    0.15693845830119607, -0.077295380617666, 0.054784027802834236,
+    -0.04004952801103731, 0.02807726149055056, -0.018491884341240026,
+    0.010685858987061678, -0.005250474306093966, 0.003522283558394471,
+    -0.0028267368523108055, 0.0010171322565724434,
+)
+
+
+def _poly_gelu_eval(x, ct):
     b = _GELU_POLY_B
     xc = jnp.clip(x, -b, b)
     t = xc * xc * (2.0 / (b * b)) - 1.0
-    q = jnp.full_like(t, _GELU_POLY_CT[-1])
-    for ck in _GELU_POLY_CT[-2::-1]:
+    q = jnp.full_like(t, ct[-1])
+    for ck in ct[-2::-1]:
         q = q * t + ck
     return x * (0.5 + xc * q)
+
+
+def _gelu_poly(x):
+    return _poly_gelu_eval(x, _GELU_POLY_CT)
 
 
 def _gelu_poly_bf16(x):
@@ -93,11 +107,21 @@ def _gelu_poly_bf16(x):
     return _gelu_poly(x.astype(jnp.bfloat16))
 
 
+def _gelu_tanh_poly(x):
+    return _poly_gelu_eval(x, _GELU_TANH_POLY_CT)
+
+
+def _gelu_tanh_poly_bf16(x):
+    return _gelu_tanh_poly(x.astype(jnp.bfloat16))
+
+
 _ACTS = {
     "gelu_exact": _gelu_exact,
     "gelu_tanh": _gelu_tanh,
     "gelu_poly": _gelu_poly,
     "gelu_poly_bf16": _gelu_poly_bf16,
+    "gelu_tanh_poly": _gelu_tanh_poly,
+    "gelu_tanh_poly_bf16": _gelu_tanh_poly_bf16,
     "identity": lambda x: x,  # diagnostic only: measures the GELU VPU share
 }
 
