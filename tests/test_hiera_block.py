@@ -355,3 +355,37 @@ def test_gelu_tanh_poly_matches_tanh_form():
         np.asarray(_gelu_tanh_poly(x)) - np.asarray(_gelu_tanh(x))
     )
     assert err.max() < 1e-4, err.max()
+
+
+@requires_tpu
+@pytest.mark.parametrize("mode", ["padw", "stage2", "polyb"])
+def test_new_kernel_paths_on_chip_bf16(mode):
+    """Real-chip parity for the round-3 kernel levers: padw alignment,
+    2-block stage fusion, bf16-poly GELU (stage-3 shape)."""
+    from ufvideo_tpu.ops.hiera_block import fused_hiera_stage
+
+    hp = 576 // 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 256, 576), jnp.bfloat16)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        _params(jax.random.PRNGKey(1), 576, 8, hp, 4 * 576),
+    )
+    if mode == "padw":
+        got = fused_hiera_block(x, params, 8, hp, 0, align_qkv="padw")
+        want = _reference(x, params, 8, hp, hp)
+    elif mode == "stage2":
+        got = fused_hiera_stage(
+            x, (params, params), 8, hp, 0, False, "gelu_exact", 1e-6, True
+        )
+        want = _reference(
+            _reference(x, params, 8, hp, hp), params, 8, hp, hp
+        )
+    else:  # polyb
+        got = fused_hiera_block(
+            x, params, 8, hp, 0, act="gelu_poly_bf16", align_qkv=True
+        )
+        want = _reference(x, params, 8, hp, hp)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.08, rtol=0.08,
+    )
