@@ -460,15 +460,19 @@ RECORDED = {
     "e2e_batch": ("pixrqa_e2e_videos_per_sec_batch8", 1.20, "videos/s/chip"),
 }
 
-# Modes the driver line re-measures live, cheapest first, with per-mode cost
-# estimates (seconds, dominated by remote compile) used to decide whether
-# the remaining budget allows a live run.
+# Modes the driver line re-measures live, highest-value-per-cost first, with
+# per-mode cost estimates (seconds, dominated by remote compile) used to
+# decide whether the remaining budget allows a live run. EVERY RECORDED mode
+# must appear here so a budget miss degrades to a stale-flagged fallback
+# rather than silently dropping the metric from the round record.
 DRIVER_EXTRA_MODES = (
     # (mode key, est. seconds incl. compile)
     ("decode_int8", 600),
     ("vit_encode", 600),
     ("sam_encode", 1100),
     ("e2e", 1600),
+    ("prefill", 500),
+    ("e2e_batch", 1900),
 )
 
 

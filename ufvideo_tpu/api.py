@@ -218,10 +218,9 @@ class UFVideoRuntime:
             rng=jax.random.PRNGKey(seed),
             stop_sequences=tuple(tuple(s) for s in stop_sequences),
             kv_quant=bool(cfg.quant_kv),
-            prefill_chunk=(
-                cfg.prefill_chunk if 0 < cfg.prefill_chunk < b
-                and b % cfg.prefill_chunk == 0 else 0
-            ),
+            # greedy_generate gates validity itself (any 0<chunk<b works,
+            # non-dividing batches included)
+            prefill_chunk=cfg.prefill_chunk,
         )
         out = []
         for i in range(b):

@@ -130,9 +130,12 @@ def run_benchmark(args, runtime=None) -> None:
             }
             if bench == "pixtrqa":
                 rec["span"] = parse_temporal_span(text)
-            writer.write(rec)
+            # masks BEFORE the JSONL row: a mid-emit failure then leaves no
+            # row behind, so the per-sample fallback can safely retry the
+            # sample without double-counting it in the scorer
             if extra.get("pred_masks"):
                 save_mask_pngs(mask_dir, sample["id"], extra["pred_masks"][0])
+            writer.write(rec)
 
         _seg_refer_loop(ds, model, tokenizer, args, emit_seg, question=question)
     elif bench == "mvbench":
@@ -163,9 +166,11 @@ def run_benchmark(args, runtime=None) -> None:
                                sam_image_size=sam_image_size, **frames_kw)
 
         def emit_mevis(sample, out):
-            writer.write({"id": sample["id"], "video": sample["video_name"]})
+            # masks before the row (see emit_seg): keeps a mid-emit failure
+            # retryable without a duplicate JSONL row
             if out.get("pred_masks"):
                 save_mask_pngs(mask_dir, sample["id"], out["pred_masks"][0])
+            writer.write({"id": sample["id"], "video": sample["video_name"]})
 
         def mevis_step(sample):
             conv = sample["line"]["conversations"]
@@ -190,6 +195,7 @@ def run_benchmark(args, runtime=None) -> None:
             if not group:
                 continue
             if bs > 1 and len(group) > 1:
+                emitted = 0
                 try:
                     results = mm_infer_batch(
                         [
@@ -205,9 +211,12 @@ def run_benchmark(args, runtime=None) -> None:
                     )
                     for s, (_, out) in zip(group, results):
                         emit_mevis(s, out)
+                        emitted += 1
                     continue
                 except Exception:
                     traceback.print_exc()  # fall through to per-sample
+                    # never re-emit samples already written by the batch
+                    group = group[emitted:]
             for s in group:
                 try:
                     emit_mevis(s, mevis_step(s))
@@ -236,6 +245,7 @@ def _seg_refer_loop(ds, model, tokenizer, args, emit, question=None):
         if not group:
             continue
         if bs > 1 and len(group) > 1:
+            emitted = 0
             try:
                 results = mm_infer_batch(
                     [
@@ -255,9 +265,12 @@ def _seg_refer_loop(ds, model, tokenizer, args, emit, question=None):
                 )
                 for s, (text, extra) in zip(group, results):
                     emit(s, text, extra)
+                    emitted += 1
                 continue
             except Exception:
                 traceback.print_exc()  # fall through to per-sample
+                # skip samples the batch path already emitted
+                group = group[emitted:]
         for s in group:
             try:
                 text, extra = _seg_refer_step(
@@ -287,6 +300,7 @@ def _qa_loop(ds, model, tokenizer, args, emit):
         if not group:
             continue
         if bs > 1 and len(group) > 1:
+            emitted = 0
             try:
                 results = mm_infer_batch(
                     [{"video": s["video"], "instruct": s["question"]}
@@ -296,9 +310,12 @@ def _qa_loop(ds, model, tokenizer, args, emit):
                 )
                 for s, (text, _) in zip(group, results):
                     emit(s, text)
+                    emitted += 1
                 continue
             except Exception:
                 traceback.print_exc()  # fall through to per-sample
+                # skip samples the batch path already emitted
+                group = group[emitted:]
         for s in group:
             try:
                 text, _ = mm_infer(

@@ -115,41 +115,45 @@ def greedy_generate(
     if c:
         # chunked prefill: big batches' prefill transients (one MLP
         # activation is [B*S, intermediate] — 1.6 GB bf16 at batch 16 of a
-        # 2.8k prompt) dominate peak HBM; run ``c`` sequences at a time and
-        # write each chunk's KV into its slice of the full cache in place.
-        # Math is row-independent, so this is bit-identical to one pass.
-        assert b % c == 0, (b, c)
+        # 2.8k prompt) dominate peak HBM; run ``c`` sequences at a time
+        # through a prompt-length (not cache_max_len) scratch cache and copy
+        # each chunk's KV into its slice of the full cache. Math is
+        # row-independent, so this is bit-identical to one pass. ``c`` need
+        # not divide ``b``: the last chunk's start clamps to b-c
+        # (dynamic_slice semantics), recomputing a few rows that then
+        # rewrite equal values.
 
         def pbody(i, carry):
             cache_f, lasts = carry
-            emb_c = jax.lax.dynamic_slice_in_dim(input_embeds, i * c, c, 0)
-            len_c = jax.lax.dynamic_slice_in_dim(seq_lens, i * c, c, 0)
+            off = i * c
+            emb_c = jax.lax.dynamic_slice_in_dim(input_embeds, off, c, 0)
+            len_c = jax.lax.dynamic_slice_in_dim(seq_lens, off, c, 0)
             hid_c, cache_c = model.apply(
                 {"params": params},
                 emb_c,
                 positions[:c],
                 len_c,
-                make_kv_cache(
-                    cfg, c, cache_max_len, dtype=model.dtype, quant=kv_quant
-                ),
+                make_kv_cache(cfg, c, s, dtype=model.dtype, quant=kv_quant),
                 None,
                 "prefill",
                 method=Qwen2LM.backbone,
             )
             last_c = hid_c[jnp.arange(c), len_c - 1]
             cache_f = jax.tree.map(
-                lambda f, p: jax.lax.dynamic_update_slice_in_dim(
-                    f, p, i * c, axis=1
+                # chunk leaves are shorter in the S axis (s vs cache_max_len)
+                # — batch is axis 1, every other start is 0 for k/v/scales
+                lambda f, p: jax.lax.dynamic_update_slice(
+                    f, p, (0, off) + (0,) * (p.ndim - 2)
                 ),
                 cache_f, cache_c,
             )
             lasts = jax.lax.dynamic_update_slice_in_dim(
-                lasts, last_c.astype(lasts.dtype), i * c, axis=0
+                lasts, last_c.astype(lasts.dtype), off, axis=0
             )
             return cache_f, lasts
 
         cache, last_hidden = jax.lax.fori_loop(
-            0, b // c, pbody,
+            0, -(-b // c), pbody,
             (cache, jnp.zeros((b, hid), model.dtype)),
         )
     else:

@@ -60,11 +60,6 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
-def _forward_image_jit(model: SAM2, params, images: jnp.ndarray):
-    return model.apply({"params": params}, images, method=SAM2.forward_image)
-
-
-@functools.partial(jax.jit, static_argnames=("model",))
 def _encode_frames_jit(model: SAM2, params, images: jnp.ndarray):
     """forward_image trimmed to what FrameFeatures keeps: the three FPN
     levels and ONE copy of the top-level sine pos embed. Returning only

@@ -62,6 +62,7 @@ class UFVideoModel:
         ``lora_term``: optional (scale, dropout) enabling forward-term LoRA
         in the LLM (train/lora.py; needed for PEFT-exact lora_dropout)."""
         self.cfg = cfg
+        self.ring = ring
         dt, pt = cfg.compute_dtype, cfg.param_dtype
         self.vision = SiglipVisionTower(cfg.vision, dtype=dt, param_dtype=pt)
         self.projector = build_projector(cfg.projector, dtype=dt, param_dtype=pt)

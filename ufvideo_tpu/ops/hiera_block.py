@@ -368,36 +368,35 @@ def fused_hiera_block(
     )
 
 
-def _forward(x, params, num_heads, head_dim, head_pad, interpret,
-             act="gelu_exact", eps=1e-6, align_qkv=False):
+def _resolve_align(align_qkv, hp):
+    """Per-caller align flag + UFVIDEO_HIERA_ALIGN_QKV override → (mode,
+    per-head slot width). Single source of truth for fused_hiera_block AND
+    fused_hiera_stage — the two kernels must agree on weight layout."""
     import os
 
-    n, s, c = x.shape
-    hp = head_pad or head_dim
-    if not interpret and jax.default_backend() != "tpu":
-        return _reference(x, params, num_heads, head_dim, hp, act, eps)
-    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
-     b2) = params
-    mlp_dim = w1.shape[1]
-    bw, gw = _pick_bw(n, s, num_heads)
     align = {True: "scratch", False: "off"}.get(align_qkv, align_qkv)
     env_align = os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "")
     if env_align:
         align = {"0": "off", "1": "scratch"}.get(env_align, env_align)
     if hp % 128 == 0:
         align = "off"
-    hs = 128 if align in ("scratch", "padw") else hp
+    return align, (128 if align in ("scratch", "padw") else hp)
+
+
+def _pad_weights_for_align(align, wqkv, bqkv, wproj, num_heads, hp, hs, c):
+    """Zero-pad per-head weight slots for the aligned layouts.
+
+    "scratch"/"padw": zero-ROW-pad each head's slice of wproj to its
+    128-lane slot so the aligned att scratch contracts directly (zero rows
+    inert). "padw" additionally zero-pads the qkv weight COLUMNS (and bias)
+    per head slot: the qkv dot then writes 128-aligned slots directly — no
+    shuffle pass, at the cost of wider qkv-dot FLOPs (inert zero columns)."""
     if align in ("scratch", "padw"):
-        # zero-row-pad each head's slice of wproj to its 128-lane slot so
-        # the aligned att scratch contracts directly (zero rows are inert)
         wp = wproj.reshape(num_heads, hp, c)
         wproj = jnp.concatenate(
             [wp, jnp.zeros((num_heads, hs - hp, c), wproj.dtype)], axis=1
         ).reshape(num_heads * hs, c)
     if align == "padw":
-        # zero-pad the qkv weight COLUMNS (and bias) per head slot: the qkv
-        # dot then writes 128-aligned slots directly — no shuffle pass, at
-        # the cost of wider qkv-dot FLOPs (inert zero columns)
         wq3 = wqkv.reshape(c, 3 * num_heads, hp)
         wqkv = jnp.concatenate(
             [wq3, jnp.zeros((c, 3 * num_heads, hs - hp), wqkv.dtype)], axis=2
@@ -406,6 +405,23 @@ def _forward(x, params, num_heads, head_dim, head_pad, interpret,
         bqkv = jnp.concatenate(
             [bq3, jnp.zeros((3 * num_heads, hs - hp), bqkv.dtype)], axis=1
         ).reshape(3 * num_heads * hs)
+    return wqkv, bqkv, wproj
+
+
+def _forward(x, params, num_heads, head_dim, head_pad, interpret,
+             act="gelu_exact", eps=1e-6, align_qkv=False):
+    n, s, c = x.shape
+    hp = head_pad or head_dim
+    if not interpret and jax.default_backend() != "tpu":
+        return _reference(x, params, num_heads, head_dim, hp, act, eps)
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
+     b2) = params
+    mlp_dim = w1.shape[1]
+    bw, gw = _pick_bw(n, s, num_heads)
+    align, hs = _resolve_align(align_qkv, hp)
+    wqkv, bqkv, wproj = _pad_weights_for_align(
+        align, wqkv, bqkv, wproj, num_heads, hp, hs, c
+    )
     kernel = functools.partial(
         _kernel, num_heads=num_heads, head_dim=head_dim, head_pad=hp,
         tokens=s, bw=bw, gw=gw, act=act, eps=eps, align=align,
@@ -514,8 +530,6 @@ def fused_hiera_stage(
 
 def _stage_forward(x, params_list, num_heads, head_dim, head_pad, interpret,
                    act, eps, align_qkv):
-    import os
-
     n, s, c = x.shape
     hp = head_pad or head_dim
     if not interpret and jax.default_backend() != "tpu":
@@ -523,34 +537,15 @@ def _stage_forward(x, params_list, num_heads, head_dim, head_pad, interpret,
             x = _reference(x, p, num_heads, head_dim, hp, act, eps)
         return x
     nb = len(params_list)
-    mlp_dim = params_list[0][8].shape[1]
     bw, gw = _pick_bw(n, s, num_heads)
-    align = {True: "scratch", False: "off"}.get(align_qkv, align_qkv)
-    env_align = os.environ.get("UFVIDEO_HIERA_ALIGN_QKV", "")
-    if env_align:
-        align = {"0": "off", "1": "scratch"}.get(env_align, env_align)
-    if hp % 128 == 0:
-        align = "off"
-    hs = 128 if align in ("scratch", "padw") else hp
+    align, hs = _resolve_align(align_qkv, hp)
 
     def prep(p):
         (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
          b2) = p
-        if align in ("scratch", "padw"):
-            wp = wproj.reshape(num_heads, hp, c)
-            wproj = jnp.concatenate(
-                [wp, jnp.zeros((num_heads, hs - hp, c), wproj.dtype)], axis=1
-            ).reshape(num_heads * hs, c)
-        if align == "padw":
-            wq3 = wqkv.reshape(c, 3 * num_heads, hp)
-            wqkv = jnp.concatenate(
-                [wq3, jnp.zeros((c, 3 * num_heads, hs - hp), wqkv.dtype)],
-                axis=2,
-            ).reshape(c, 3 * num_heads * hs)
-            bq3 = bqkv.reshape(3 * num_heads, hp)
-            bqkv = jnp.concatenate(
-                [bq3, jnp.zeros((3 * num_heads, hs - hp), bqkv.dtype)], axis=1
-            ).reshape(3 * num_heads * hs)
+        wqkv, bqkv, wproj = _pad_weights_for_align(
+            align, wqkv, bqkv, wproj, num_heads, hp, hs, c
+        )
         f32 = jnp.float32
         vec = lambda a, dt=None: (
             a.reshape(1, -1).astype(dt) if dt else a.reshape(1, -1)

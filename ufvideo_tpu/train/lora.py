@@ -149,7 +149,13 @@ def make_lora_train_step(model, optimizer, mesh, lcfg: LoRAConfig,
     if lcfg.dropout > 0.0:
         from ..models.ufvideo import UFVideoModel
 
-        model = UFVideoModel(cfg, lora_term=(lcfg.scale, lcfg.dropout))
+        # rebuild WITH the caller's constructor state (ring for
+        # sequence-parallel attention) — only lora_term changes
+        model = UFVideoModel(
+            cfg,
+            ring=getattr(model, "ring", None),
+            lora_term=(lcfg.scale, lcfg.dropout),
+        )
         dropout_rng = (
             jax.random.PRNGKey(0) if dropout_rng is None else dropout_rng
         )
