@@ -85,3 +85,35 @@ def test_extract_region_tokens_shapes():
         [True, True, True, False],
         [True, True, False, False],
     ]
+
+
+def test_resize_mask_matches_torch_bilinear():
+    """resize_mask_to_grid == torch F.interpolate(mode='bilinear',
+    align_corners=False, antialias=False) — the reference op
+    (layer.py:137-139). jax.image.resize would NOT pass this (it
+    antialiases on downsample, inflating the >0 support mask_pool
+    thresholds on)."""
+    import torch
+    import torch.nn.functional as F
+
+    from ufvideo_tpu.models.region_encoder import (
+        resize_mask_to_grid,
+        resize_mask_to_grid_np,
+    )
+
+    rng = np.random.default_rng(0)
+    for (h, w), grid in [((480, 640), 27), ((32, 32), 27), ((27, 27), 27),
+                         ((9, 13), 27), ((720, 1280), 27)]:
+        m = (rng.random((3, h, w)) > 0.7).astype(np.float32)
+        ref = F.interpolate(
+            torch.from_numpy(m)[None], size=(grid, grid), mode="bilinear",
+            align_corners=False,
+        )[0].numpy()
+        got = np.asarray(resize_mask_to_grid(jnp.asarray(m), grid))
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+        got_np = resize_mask_to_grid_np(m, grid)
+        np.testing.assert_allclose(got_np, ref, atol=2e-6)
+        # the >0 support (what mask_pool thresholds) must agree exactly
+        np.testing.assert_array_equal(got > 0, got_np > 0)
+        if (h, w) == (grid, grid):  # identity case
+            np.testing.assert_array_equal(got, m)

@@ -22,7 +22,7 @@ import numpy as np
 
 from .configs import UFVideoConfig
 from .constants import DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN
-from .mm_utils import tokenizer_multimodal_token
+from .mm_utils import tokenizer_multimodal_token, trim_at_stop_strings
 from .models.generate import forward_hidden, greedy_generate
 from .models.sam2 import SAM2
 from .models.sam2.video import (
@@ -74,16 +74,37 @@ class UFVideoRuntime:
         ann_indices: Sequence[Sequence[int]],  # frames per region
     ):
         """Reference-style (frame, masks, ann_indices) → static region
-        tokens. Returns (region_feats [1, R*rt, D], region_token_counts)."""
+        tokens. Returns (region_feats [1, R*rt, D], region_token_counts).
+
+        ``ann_indices=None`` defaults to one region per annotated frame
+        (the reference contract requires ann_indices whenever masks are
+        given — layer.py:93 indexes it unconditionally — so this is a
+        strictly-more-forgiving extension, not a deviation).
+
+        Static shapes: masks are pre-resized HOST-side to the vision patch
+        grid (the exact reduction the jit would do first — see
+        resize_mask_to_grid_np) and frame/region counts are bucketed to
+        powers of two, so the region-encoder jit compiles once per bucket
+        instead of once per (F, R, Hm, Wm) — compiles cost minutes on this
+        runtime."""
+        from .models.region_encoder import resize_mask_to_grid_np
+
         cfg = self.cfg
         rt = cfg.region.region_token_num
-        f_budget = max(len(frame_pixels), 1)
-        r_budget = max(len(ann_indices), 1)
+        if ann_indices is None:
+            ann_indices = [[i] for i in range(len(masks))]
+        grid = cfg.vision.image_size // cfg.vision.patch_size
+
+        def pow2(n):
+            return 1 << max(n - 1, 0).bit_length()
+
+        f_budget = pow2(max(len(frame_pixels), 1))
+        r_budget = pow2(max(len(ann_indices), 1))
 
         fp = np.zeros((1, f_budget) + frame_pixels.shape[1:], np.float32)
         fp[0, : len(frame_pixels)] = frame_pixels
-        mk = np.zeros((1, f_budget) + masks.shape[1:], np.float32)
-        mk[0, : len(masks)] = masks
+        mk = np.zeros((1, f_budget, grid, grid), np.float32)
+        mk[0, : len(masks)] = resize_mask_to_grid_np(masks, grid)
         fv = np.zeros((1, f_budget), bool)
         fv[0, : len(frame_pixels)] = True
         seg = np.zeros((1, r_budget, f_budget), bool)
@@ -116,50 +137,25 @@ class UFVideoRuntime:
         """Greedy decode. Returns (generated ids list, hidden states of the
         steps that produced them [N, hidden], spliced plan).
         ``stop_sequences``: tokenized keyword stops (tuple of id tuples),
-        the in-loop equivalent of KeywordsStoppingCriteria."""
-        cfg = self.cfg
-        plan = plan_splice(
+        the in-loop equivalent of KeywordsStoppingCriteria.
+
+        One-element delegation to generate_batch — a single plan/trim/
+        dispatch implementation so fixes can never diverge between the
+        single-sample and batched serving paths."""
+        out, plan = self.generate_batch(
             [input_ids],
-            num_video_tokens=video_feats.shape[1] if video_feats is not None else 0,
-            region_token_counts=[region_token_counts or []],
-            region_token_id=self.ids.region,
-            max_seq_len=cfg.budget.max_seq_len,
-            region_stride=cfg.region.region_token_num,
-        )
-        embeds = self._splice(
-            self.params,
-            jnp.asarray(plan.text_ids),
-            jnp.asarray(plan.src_kind),
-            jnp.asarray(plan.src_idx),
             video_feats,
             region_feats,
-        )
-        # length bucketing: the plan pads to the static max_seq_len budget;
-        # trim prefill + kv cache to the 256-rounded true length (a 2.7k
-        # PixRQA prompt in a 4096 budget otherwise wastes ~33% of prefill
-        # and decode-read time). Bucketing keeps recompiles bounded.
-        real_len = int(max(plan.seq_lens))
-        trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
-        res = greedy_generate(
-            self.model.llm,
-            self.params["llm"],
-            embeds[:, :trim],
-            jnp.asarray(plan.seq_lens),
+            [region_token_counts or []],
             max_new_tokens=max_new_tokens,
-            stop_ids=(self.ids.eos,),
-            cache_max_len=trim + max_new_tokens,
-            vocab_size=cfg.llm.vocab_size,
             do_sample=do_sample,
             temperature=temperature,
             top_p=top_p,
-            rng=jax.random.PRNGKey(seed),
-            stop_sequences=tuple(tuple(s) for s in stop_sequences),
-            kv_quant=bool(cfg.quant_kv),
+            seed=seed,
+            stop_sequences=stop_sequences,
         )
-        n = int(res.gen_lens[0])
-        tokens = np.asarray(res.tokens[0, :n])
-        hidden = res.hidden[0, :n]
-        return tokens.tolist(), hidden, plan
+        tokens, hidden = out[0]
+        return tokens, hidden, plan
 
     def generate_batch(
         self,
@@ -201,6 +197,10 @@ class UFVideoRuntime:
             video_feats,
             region_feats,
         )
+        # length bucketing: the plan pads to the static max_seq_len budget;
+        # trim prefill + kv cache to the 256-rounded true length (a 2.7k
+        # PixRQA prompt in a 4096 budget otherwise wastes ~33% of prefill
+        # and decode-read time). Bucketing keeps recompiles bounded.
         real_len = int(max(plan.seq_lens))
         trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
         res = greedy_generate(
@@ -384,6 +384,9 @@ def _assemble_input_ids(instruct, choice, modal_token, tokenizer):
             )
             message = [{"role": "user", "content": content}]
         else:
+            # list-form instructs get the modal token for BOTH choices —
+            # deliberate reference asymmetry (only the string form skips it
+            # under choice 2; ufvideo/__init__.py:79-84)
             message = [dict(m) for m in instruct]
             message[0]["content"] = f"{modal_token}\n" + message[0]["content"]
     elif choice == 3:
@@ -457,10 +460,16 @@ def mm_infer(
     # sampling kwargs (reference defaults: do_sample False, temp 0.2 when
     # sampling, top_p 0.9; ufvideo/__init__.py:114-117)
     do_sample = bool(kwargs.get("do_sample", False))
-    temperature = float(
-        kwargs.get("temperature", 0.2 if do_sample else 0.0) or 1.0
+    # greedy ignores temperature — normalize it to 1.0 there so every greedy
+    # call shares one compile key; when sampling, honor an explicit 0.0
+    # (near-greedy via the max(t, 1e-6) guard in _sample_token)
+    temperature = kwargs.get("temperature")
+    temperature = (
+        float(0.2 if temperature is None else temperature)
+        if do_sample else 1.0
     )
     top_p = float(kwargs.get("top_p", 0.9))
+    seed = int(kwargs.get("seed", 0))
     # keyword stopping (reference KeywordsStoppingCriteria, mm_utils.py:
     # 418-449): tokenize keyword strings once; matching runs in-loop on ids
     stop_sequences = tuple(
@@ -476,9 +485,16 @@ def mm_infer(
             input_ids, video_feats, region_feats, region_counts,
             max_new_tokens=max_new_tokens,
             do_sample=do_sample, temperature=temperature, top_p=top_p,
-            stop_sequences=stop_sequences,
+            stop_sequences=stop_sequences, seed=seed,
         )
         output_text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
+        # string-level trim backstops the in-loop token-id stop: BPE can
+        # merge a keyword with preceding text into different ids (e.g.
+        # '\n###' → ('\n##','#')), which the id-window compare can't see
+        if kwargs.get("stop_strings"):
+            output_text = trim_at_stop_strings(
+                output_text, kwargs["stop_strings"]
+            ).strip()
 
         pred_masks = []
         # Deliberate deviation from the reference generate path: we take the
@@ -632,6 +648,15 @@ def mm_infer_batch(
         for s in (kwargs.get("stop_strings") or [])
     )
     do_sample = bool(kwargs.get("do_sample", False))
+    # same normalization as mm_infer: greedy → 1.0 (one compile key);
+    # sampling honors an explicit temperature of 0.0 (near-greedy)
+    temperature = kwargs.get("temperature")
+    temperature = (
+        float(0.2 if temperature is None else temperature)
+        if do_sample else 1.0
+    )
+    seed = int(kwargs.get("seed", 0))
+
     def rows(x, idx):
         return None if x is None else x[jnp.asarray(idx)]
 
@@ -676,11 +701,10 @@ def mm_infer_batch(
             ),
             max_new_tokens=int(kwargs.get("max_new_tokens", 1024)),
             do_sample=do_sample,
-            temperature=float(
-                kwargs.get("temperature", 0.2 if do_sample else 0.0) or 1.0
-            ),
+            temperature=temperature,
             top_p=float(kwargs.get("top_p", 0.9)),
             stop_sequences=stop_sequences,
+            seed=seed,
         )[0]
 
         # single-[SEG] samples propagate together in one scan
@@ -721,6 +745,11 @@ def mm_infer_batch(
                     )
                     pred_masks = [m[j] for j in range(m.shape[0])]
             text = tokenizer.decode(tokens, skip_special_tokens=True).strip()
+            if kwargs.get("stop_strings"):
+                # string-level backstop for BPE-merged keywords (see mm_infer)
+                text = trim_at_stop_strings(
+                    text, kwargs["stop_strings"]
+                ).strip()
             out[i] = (text, {"output": tokens, "pred_masks": pred_masks})
 
     # ---- PATH B subset ([SEG] in the input, videorefer_qwen2.py:461-518):

@@ -47,7 +47,7 @@ def _sample_token(logits: jnp.ndarray, key, do_sample: bool,
     ufvideo/__init__.py:114-117)."""
     if not do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / max(temperature, 1e-6)
+    logits = logits / jnp.maximum(temperature, 1e-6)
     if top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -61,9 +61,13 @@ def _sample_token(logits: jnp.ndarray, key, do_sample: bool,
 
 @functools.partial(
     jax.jit,
+    # temperature is a TRACED operand (a sweep over temperatures must not
+    # recompile the multi-minute fused program); top_p stays static — its
+    # <1.0 branch gates a per-step [B, vocab] sort that greedy/plain
+    # sampling should never pay
     static_argnames=(
         "model", "max_new_tokens", "stop_ids", "cache_max_len", "vocab_size",
-        "do_sample", "temperature", "top_p", "stop_sequences", "kv_quant",
+        "do_sample", "top_p", "stop_sequences", "kv_quant",
         "prefill_chunk",
     ),
 )
@@ -98,6 +102,12 @@ def greedy_generate(
     b, s, hid = input_embeds.shape
     vocab_size = vocab_size or cfg.vocab_size
     assert cache_max_len >= s + max_new_tokens, (cache_max_len, s, max_new_tokens)
+    # round the cache up to full 128-position tiles: a ragged S makes the
+    # decode kernel jnp.pad a copy of the whole [B, Hkv, S, D] cache every
+    # layer every step (decode_attention.py pads to its block size) — a
+    # silent traffic tax on the weight-bandwidth-bound decode loop. The
+    # tail positions are never attended (kv-length masking).
+    cache_max_len = -(-cache_max_len // 128) * 128
     # single-token "sequences" are just extra stop ids
     stop_ids = tuple(stop_ids) + tuple(
         seq[0] for seq in stop_sequences if len(seq) == 1

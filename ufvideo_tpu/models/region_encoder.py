@@ -45,14 +45,58 @@ def mask_pool(
     return pooled / denom[:, None]
 
 
+def bilinear_matrix(src: int, dst: int) -> "np.ndarray":
+    """[dst, src] interpolation matrix equal to torch
+    ``F.interpolate(mode='bilinear', align_corners=False, antialias=False)``
+    along one dimension (layer.py:137-139): half-pixel source coords, two
+    taps, edge-clamped. NOT jax.image.resize — that antialiases on
+    downsample (triangle kernel widened by the scale factor), which inflates
+    the >0 support that mask_pool thresholds on.
+
+    Built in numpy so the host-side twin (`resize_mask_to_grid_np`) and the
+    jitted path share the exact same float32 weights."""
+    import numpy as np
+
+    i = np.arange(dst, dtype=np.float32)
+    c = np.clip((i + 0.5) * (src / dst) - 0.5, 0.0, src - 1.0)
+    i0 = np.floor(c).astype(np.int64)
+    i1 = np.minimum(i0 + 1, src - 1)
+    w1 = (c - i0).astype(np.float32)
+    m = np.zeros((dst, src), np.float32)
+    m[np.arange(dst), i0] += 1.0 - w1
+    m[np.arange(dst), i1] += w1
+    return m
+
+
 def resize_mask_to_grid(masks: jnp.ndarray, grid: int) -> jnp.ndarray:
     """Bilinear-resize full-res masks [N, H, W] to the patch grid, matching
     the reference's F.interpolate(mode='bilinear', align_corners=False)
-    (layer.py:137-139)."""
-    n = masks.shape[0]
-    return jax.image.resize(
-        masks.astype(jnp.float32), (n, grid, grid), method="bilinear"
+    (layer.py:137-139). Identity when H == W == grid."""
+    n, h, w = masks.shape
+    if h == grid and w == grid:
+        return masks.astype(jnp.float32)
+    mh = jnp.asarray(bilinear_matrix(h, grid))
+    mw = jnp.asarray(bilinear_matrix(w, grid))
+    return jnp.einsum(
+        "gh,nhw,kw->ngk", mh, masks.astype(jnp.float32), mw
     )
+
+
+def resize_mask_to_grid_np(masks, grid: int):
+    """Host-side numpy twin of resize_mask_to_grid (same weights; float32
+    sums may differ from XLA in the last ulp, but the >0 support mask_pool
+    thresholds on is identical — zero-weight cells are exactly 0.0 in both).
+    Lets callers pre-resize masks to the static patch grid so the region
+    encoder jit never sees per-sample mask resolutions (one compile)."""
+    import numpy as np
+
+    masks = np.asarray(masks, np.float32)
+    n, h, w = masks.shape
+    if h == grid and w == grid:
+        return masks
+    mh = bilinear_matrix(h, grid)
+    mw = bilinear_matrix(w, grid)
+    return np.einsum("gh,nhw,kw->ngk", mh, masks, mw)
 
 
 def token_merge_static(

@@ -15,9 +15,6 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-QUANT_SUFFIXES = ("_q", "_scale")
-
-
 def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """[..., in, out] float kernel → {'q': int8, 'scale': f32[..., out]}.
 
@@ -118,18 +115,3 @@ def quantize_qwen2_params(
     out["layers"] = walk(params["layers"])
     out["lm_head"] = walk({"_": params["lm_head"]})["_"]
     return out
-
-
-def quant_dense(params_leaf: Dict[str, jnp.ndarray], x: jnp.ndarray, dtype):
-    """y = (x @ int8_kernel) * scale (+ bias). The per-output-column scale
-    commutes past the contraction, keeping the weight read int8."""
-    q = params_leaf["kernel_q"]
-    scale = params_leaf["kernel_scale"]
-    y = jnp.dot(
-        x.astype(dtype), q.astype(dtype),
-        preferred_element_type=jnp.float32,
-    )
-    y = (y * scale.astype(jnp.float32)).astype(dtype)
-    if "bias" in params_leaf:
-        y = y + params_leaf["bias"].astype(dtype)
-    return y
