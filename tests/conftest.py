@@ -61,6 +61,7 @@ requires_tpu = pytest.mark.skipif(
 # ---- smoke tier (-m smoke): cheap-green subset, <2 min on a loaded host ----
 SMOKE_FILES = {
     "test_conversation.py",
+    "test_data_layouts.py",
     "test_rle.py",
     "test_eval_metrics.py",
     "test_parallel.py",

@@ -171,3 +171,38 @@ def test_trainer_adapter_save_writes_reference_bins(tmp_path):
     assert len(got_leaves) == len(ref_leaves)
     for g, r in zip(got_leaves, ref_leaves):
         np.testing.assert_allclose(np.asarray(g), r, atol=1e-6)
+
+
+def test_trainer_adapter_resume_merges_weights(tmp_path):
+    """maybe_resume on a tune_adapters_only run restores the adapter
+    subtrees from the adapter-only artifact (full-state template against a
+    two-subtree checkpoint used to crash orbax)."""
+    import os
+
+    from ufvideo_tpu.train.trainer import TrainConfig, Trainer
+    from ufvideo_tpu.train.train_step import TrainState
+
+    cfg = tiny_config()
+    model = UFVideoModel(cfg)
+    tc = TrainConfig(
+        output_dir=str(tmp_path), total_steps=10, tune_adapters_only=True
+    )
+    trainer = Trainer(model, cfg, tc)
+    params = model.init_params(jax.random.PRNGKey(0))
+    state = TrainState(jnp.asarray(3), params, None)
+    trainer.save(state)
+
+    fresh = model.init_params(jax.random.PRNGKey(1))
+    fresh_state = TrainState(jnp.asarray(0), fresh, None)
+    resumed = trainer.maybe_resume(fresh_state)
+    # adapters come from the checkpoint, the rest stays fresh
+    for g, r in zip(
+        jax.tree.leaves(resumed.params["projector"]),
+        jax.tree.leaves(params["projector"]),
+    ):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-6)
+    for g, r in zip(
+        jax.tree.leaves(resumed.params["llm"]),
+        jax.tree.leaves(fresh["llm"]),
+    ):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r))

@@ -71,14 +71,19 @@ def test_task1_layout(video_dir):
     }
     s = _make_ds(video_dir, [rec])[0]
     n_obj = 2
-    # region prompt: first frame only, one prompt mask per object, all
-    # pointing at dense slot 0 (train.py:483,471-473)
-    assert s.region_frames.shape[0] == 1
+    n_sam = tiny_config().budget.num_frames_sam
+    # region prompt: first frame only, ONE SLOT PER OBJECT all carrying the
+    # first frame's pixels, each pooled against its own mask — the
+    # reference's masks list runs parallel to ann_indices=[[0]]*n
+    # (train.py:463,483,608-611)
+    assert s.region_frames.shape[0] == n_obj
+    assert np.array_equal(s.region_frames[0], s.region_frames[1])
     assert s.region_masks.shape == (n_obj, H, W)
-    assert s.ann_indices == [[0], [0]]
-    # SAM supervision: 4 later frames per object (train.py:481,497-505)
-    assert s.images_sam.shape[0] == 4
-    assert s.gt_masks.shape == (n_obj, 4, H, W)
+    assert s.ann_indices == [[0], [1]]
+    # SAM supervision: num_frames_sam later frames per object (the
+    # reference hardcodes its num_frames_sam=4; ours follows the budget)
+    assert s.images_sam.shape[0] == n_sam
+    assert s.gt_masks.shape == (n_obj, n_sam, H, W)
     assert s.gt_masks.max() == 1.0
     # video token spliced, labels masked on the user turn
     assert VIDEO_TOKEN_INDEX in s.input_ids
@@ -100,9 +105,10 @@ def test_task1_first_frame_from_first_quarter(video_dir):
     # across several reloads the chosen first frame must stay in the first
     # quarter (indices 0..2 of 12), per train.py:426-447
     ds = _make_ds(video_dir, [rec] * 6)
+    n_sam = tiny_config().budget.num_frames_sam
     for i in range(6):
         s = ds[i]
-        assert s.gt_masks.shape == (1, 4, H, W)
+        assert s.gt_masks.shape == (1, n_sam, H, W)
 
 
 @pytest.mark.parametrize("task", ["task2", "task3"])
@@ -124,9 +130,10 @@ def test_task23_layout(video_dir, task):
     assert s.region_masks.shape == (1, 336, 336)
     assert s.region_masks.sum() == 0
     assert s.ann_indices == [[0]]
-    # SAM supervision on all 4 sampled frames
-    assert s.images_sam.shape[0] == 4
-    assert s.gt_masks.shape == (1, 4, H, W)
+    # SAM supervision on all num_frames_sam sampled frames
+    n_sam = tiny_config().budget.num_frames_sam
+    assert s.images_sam.shape[0] == n_sam
+    assert s.gt_masks.shape == (1, n_sam, H, W)
     assert VIDEO_TOKEN_INDEX in s.input_ids
 
 

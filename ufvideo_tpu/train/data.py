@@ -161,6 +161,12 @@ class SupervisedVideoDataset:
             try:
                 return self._load(self.records[idx])
             except Exception:
+                # backup-sample retry (reference train.py:385-391) — but
+                # LOUD, so pipeline bugs don't masquerade as corrupt data
+                import traceback
+
+                traceback.print_exc()
+                print(f"sample {idx} failed; retrying with a random record")
                 idx = self.rng.randrange(len(self.records))
         raise RuntimeError("too many corrupt samples")
 
@@ -185,6 +191,9 @@ class SupervisedVideoDataset:
         task = rec["unibench"]
         video_path = os.path.join(self.video_root, rec["video"])
         annotations = rec["annotation"]
+        # the reference hardcodes 4 supervision frames (train.py:488,532 —
+        # its num_frames_sam); here the configured budget generalizes it
+        n_sam = cfg.budget.num_frames_sam
 
         if task == "task1":
             all_avail = sorted(rec["frame_list"])
@@ -192,17 +201,17 @@ class SupervisedVideoDataset:
             quarter = max(1, total // 4)
             valid_first = [
                 f for i, f in enumerate(all_avail[:quarter])
-                if all_avail.index(f) + 4 < total
+                if all_avail.index(f) + n_sam < total
             ]
             first = self.rng.choice(valid_first) if valid_first else all_avail[0]
             first_pos = all_avail.index(first)
-            rand4 = sorted(self.rng.sample(all_avail[first_pos + 1:], 4))
+            rand4 = sorted(self.rng.sample(all_avail[first_pos + 1:], n_sam))
             # ordered [first] + rand4 (the reference iterates a set here,
             # train.py:465-469 — we pin the natural deterministic order)
             frame_ids = [int(first)] + [int(f) for f in rand4]
             conversations = rec["conversations"]
         else:  # task2 / task3
-            rand4 = sorted(self.rng.sample(list(rec["frame_idx"]), 4))
+            rand4 = sorted(self.rng.sample(list(rec["frame_idx"]), n_sam))
             frame_ids = [int(f) for f in rand4]
             first = None
             # task2/3 nest the conversation one level deeper (train.py:539)
@@ -224,14 +233,19 @@ class SupervisedVideoDataset:
         sample = TrainSample(input_ids=input_ids, labels=labels, video=video)
 
         if task == "task1":
-            # region prompt: first frame only (train.py:483 frame[0]);
-            # SAM supervision on the 4 later frames (train.py:481 frames[1:])
-            sample.region_frames = dense[:1]
+            # region prompt: first frame only (train.py:483 frame[0]), ONE
+            # SLOT PER ANNOTATION all carrying the first frame's pixels —
+            # the reference's masks list is parallel to the flattened
+            # ann_indices=[[0]]*n (train.py:463,608-611), i.e. each
+            # annotation pools frame-0 features against ITS OWN mask; SAM
+            # supervision on the later frames (train.py:481 frames[1:])
+            n_ann = len(annotations)
+            sample.region_frames = np.repeat(dense[:1], max(n_ann, 1), 0)
             sample.region_masks = np.asarray(
                 [self._ann_mask(ann[str(first)], h, w) for ann in annotations],
                 np.float32,
             )
-            sample.ann_indices = [[0]] * len(annotations)
+            sample.ann_indices = [[i] for i in range(n_ann)]
             sam_raw = raw_dense[1:]
         else:
             # zero region prompt (train.py:606-607): masks are zeros at the
@@ -303,6 +317,24 @@ class SupervisedVideoDataset:
 
     def _load(self, rec: Dict) -> TrainSample:
         cfg = self.cfg
+        # text-only records (language data — reference train.py:601-603
+        # modal_token=None branch; the grouped sampler builds whole lang
+        # megabatches of these): no vision input, zero pixels ride along
+        # so the batch keeps static shapes
+        if "video" not in rec and "image" not in rec:
+            input_ids, labels = preprocess_conversation(
+                rec["conversations"], self.tokenizer, DEFAULT_VIDEO_TOKEN
+            )
+            video = np.zeros(
+                (
+                    cfg.budget.num_frames,
+                    cfg.vision.image_size,
+                    cfg.vision.image_size,
+                    3,
+                ),
+                np.float32,
+            )
+            return TrainSample(input_ids=input_ids, labels=labels, video=video)
         if "seg" in rec and "video" in rec:
             if rec.get("unibench") in ("task1", "task2", "task3"):
                 return self._load_unibench(rec)
@@ -356,26 +388,52 @@ class SupervisedVideoDataset:
             is_seg = True
 
         annotations = rec.get("annotation", [])
-        layout_frames: List[int] = []
+        # Region layout: ONE SLOT PER (annotation, frame) PAIR — the
+        # reference's mask list runs parallel to the FLATTENED ann_indices
+        # (train.py:366-375 builds indices into deduped frames, then
+        # train.py:628-637 appends one mask per pair and layer.py:93-97
+        # gathers feats[flatten(ann_indices)] against that parallel mask
+        # list). Our static contract is one mask per frame slot, so pairs
+        # become slots (frame pixels duplicated across same-frame slots —
+        # decode stays deduped, the gather below fans out).
+        layout_frames: List[int] = []  # original frame id per slot
         ann_indices: List[List[int]] = []
         if has_regions and annotations:
-            seen: Dict[int, int] = {}
             for ann in annotations:
                 idxs = []
                 for f in ann.keys():
-                    fi = int(f)
-                    if fi not in seen:
-                        seen[fi] = len(seen)
-                        layout_frames.append(fi)
-                    idxs.append(seen[fi])
+                    idxs.append(len(layout_frames))
+                    layout_frames.append(int(f))
                 ann_indices.append(idxs)
 
+        # SAM supervision frames: sampled from the frames the annotations
+        # actually key (the reference's seg variants likewise supervise on
+        # annotated frames — train.py:563-586 no_none_frame_idx, 488-492
+        # sampled frame_list keys); decoding rides the same process_video
+        # call as the region frames.
+        sam_keys: List[int] = []
+        if is_seg and annotations:
+            pools = [set(int(k) for k in a.keys()) for a in annotations]
+            pool = sorted(set.intersection(*pools)) if pools else []
+            if not pool and pools:
+                pool = sorted(pools[0])
+            if pool:
+                n_sam = cfg.budget.num_frames_sam
+                chosen = sorted(
+                    self.rng.sample(pool, min(n_sam, len(pool)))
+                )
+                while len(chosen) < n_sam:
+                    chosen.append(chosen[-1])
+                sam_keys = chosen
+
+        uniq = sorted(set(layout_frames) | set(sam_keys))
         video, dense, h, w, raw_dense = process_video(
             video_path,
             aspect_ratio="square",
             num_frames=cfg.budget.num_frames,
-            frame_idx=layout_frames or None,
+            frame_idx=uniq or None,
         )
+        pos = {f: i for i, f in enumerate(uniq)}
 
         input_ids, labels = preprocess_conversation(
             normalize_modal_token(conversations, DEFAULT_VIDEO_TOKEN),
@@ -385,41 +443,40 @@ class SupervisedVideoDataset:
         sample = TrainSample(
             input_ids=input_ids, labels=labels, video=video
         )
+
+        def _mask_of(entry):
+            seg_ann = (
+                entry.get("segmentation") if isinstance(entry, dict) else entry
+            )
+            return (
+                rle.ann_to_mask(seg_ann, h, w)
+                if seg_ann is not None
+                else np.zeros((h, w), np.uint8)
+            )
+
         if has_regions and annotations:
             masks = []
             for ann in annotations:
                 for f in ann.keys():
-                    seg_ann = ann[f].get("segmentation") if isinstance(ann[f], dict) else ann[f]
-                    masks.append(
-                        rle.ann_to_mask(seg_ann, h, w)
-                        if seg_ann is not None
-                        else np.zeros((h, w), np.uint8)
-                    )
-            sample.region_frames = dense
+                    masks.append(_mask_of(ann[f]))
+            sample.region_frames = dense[[pos[f] for f in layout_frames]]
             sample.region_masks = np.asarray(masks, np.float32)
             sample.ann_indices = ann_indices
 
-        if is_seg:
-            from ..mm_utils import load_frames
-
-            total = cfg.budget.num_frames
-            sam_idx = self._dense_indices(total)
-            raw, _, _, _ = load_frames(video_path, num_frames=total)
+        if sam_keys:
             sample.images_sam = sam_preprocess(
-                [raw[i] for i in sam_idx], size=cfg.sam.hiera.image_size
+                [raw_dense[pos[k]] for k in sam_keys],
+                size=cfg.sam.hiera.image_size,
             )
             gt = []
             for ann in annotations:
-                frames = []
-                keys = sorted(ann.keys(), key=int)
-                for i in sam_idx:
-                    k = keys[min(i, len(keys) - 1)]
-                    seg_ann = ann[k].get("segmentation") if isinstance(ann[k], dict) else ann[k]
-                    frames.append(
-                        rle.ann_to_mask(seg_ann, h, w)
-                        if seg_ann is not None
-                        else np.zeros((h, w), np.uint8)
-                    )
+                amap = {int(kk): vv for kk, vv in ann.items()}
+                frames = [
+                    _mask_of(amap[k])
+                    if k in amap
+                    else np.zeros((h, w), np.uint8)
+                    for k in sam_keys
+                ]
                 gt.append(np.stack(frames))
             if gt:
                 sample.gt_masks = np.stack(gt).astype(np.float32)
@@ -496,8 +553,15 @@ class Collator:
         v = cfg.num_video_tokens
         rt = cfg.region.region_token_num
 
+        # truncate to the region budget — region_segments/encode_regions
+        # only cover max_regions, so overflow placeholders must not get
+        # splice slots pointing past the feature array
         region_counts = [
-            [min(len(ix), rt) for ix in (s.ann_indices or [])] for s in samples
+            [
+                min(len(ix), rt)
+                for ix in (s.ann_indices or [])[: budget.max_regions]
+            ]
+            for s in samples
         ]
         plan = plan_splice(
             [s.input_ids for s in samples],
@@ -525,15 +589,23 @@ class Collator:
             default=0,
         )
         if f_budget:
+            from ..models.region_encoder import resize_mask_to_grid_np
+
             r_budget = budget.max_regions
-            hw = samples[0].region_frames.shape[1]
-            mh, mw = 0, 0
-            for s in samples:
-                if s.region_masks is not None:
-                    mh = max(mh, s.region_masks.shape[1])
-                    mw = max(mw, s.region_masks.shape[2])
+            hw = next(
+                s.region_frames.shape[1]
+                for s in samples
+                if s.region_frames is not None
+            )
+            # masks go to the vision patch grid HOST-side, each at its own
+            # native resolution (zero-padding to a batch-max canvas before
+            # resizing would shrink smaller samples' masks into a corner of
+            # the grid while their frames were resized full-frame); also
+            # keeps the train step's input shapes independent of per-video
+            # mask resolutions (one compile)
+            grid = cfg.vision.image_size // cfg.vision.patch_size
             rf = np.zeros((b, f_budget, hw, hw, 3), np.float32)
-            rm = np.zeros((b, f_budget, mh, mw), np.float32)
+            rm = np.zeros((b, f_budget, grid, grid), np.float32)
             fv = np.zeros((b, f_budget), bool)
             seg = np.zeros((b, r_budget, f_budget), bool)
             for bi, s in enumerate(samples):
@@ -541,12 +613,15 @@ class Collator:
                     continue
                 n = len(s.region_frames)
                 rf[bi, :n] = s.region_frames
-                for fi, m in enumerate(s.region_masks):
-                    rm[bi, fi, : m.shape[0], : m.shape[1]] = m
+                k = min(len(s.region_masks), f_budget)
+                rm[bi, :k] = resize_mask_to_grid_np(
+                    s.region_masks[:k], grid
+                )
                 fv[bi, :n] = True
                 for ri, idxs in enumerate(s.ann_indices[: r_budget]):
                     for i in idxs:
-                        seg[bi, ri, i] = True
+                        if i < f_budget:
+                            seg[bi, ri, i] = True
             out.update(
                 region_frames=rf, region_masks=rm,
                 region_frame_valid=fv, region_segments=seg,
@@ -572,7 +647,8 @@ class Collator:
             for bi, s in enumerate(samples):
                 if s.images_sam is None:
                     continue
-                ims[bi] = s.images_sam[:ts]
+                k = min(len(s.images_sam), ts)
+                ims[bi, :k] = s.images_sam[:k]
                 if s.gt_masks is not None:
                     k = min(s.gt_masks.shape[0], n_obj)
                     for oi in range(k):
@@ -594,22 +670,28 @@ def modality_length_groups(
     lengths: Sequence[int], modalities: Sequence[bool], batch_size: int, seed: int = 0
 ) -> List[int]:
     """Length/modality-grouped sample order (reference:
-    videorefer_trainer.py:149-241 get_modality_length_grouped_indices):
-    multimodal and text-only samples are grouped separately, each sorted by
-    length within shuffled megabatches."""
+    videorefer_trainer.py:171-197 get_modality_length_grouped_indices):
+    shuffle each modality, sort by length inside megabatches of one global
+    batch, then SHUFFLE THE MM AND LANG MEGABATCHES TOGETHER so text-only
+    data stays interleaved through the epoch (the two groups' last partial
+    megabatches combine into one trailing batch, as in the reference)."""
     rng = np.random.RandomState(seed)
     mm = [i for i, m in enumerate(modalities) if m]
     lang = [i for i, m in enumerate(modalities) if not m]
 
-    def grouped(indices: List[int]) -> List[int]:
+    def megabatches(indices: List[int]) -> List[List[int]]:
         idx = list(rng.permutation(indices))
-        mega = [
-            idx[i : i + batch_size * 50] for i in range(0, len(idx), batch_size * 50)
+        return [
+            sorted(idx[i : i + batch_size], key=lambda j: -lengths[j])
+            for i in range(0, len(idx), batch_size)
         ]
-        out: List[int] = []
-        for m in mega:
-            out.extend(sorted(m, key=lambda i: -lengths[i]))
-        return out
 
-    order = grouped(mm) + grouped(lang)
-    return order
+    if not mm or not lang:
+        return [i for m in megabatches(mm or lang) for i in m]
+    mm_megas, lang_megas = megabatches(mm), megabatches(lang)
+    extra = mm_megas.pop() + lang_megas.pop()
+    megas = mm_megas + lang_megas
+    order = [megas[i] for i in rng.permutation(len(megas))]
+    out = [i for m in order for i in m]
+    out.extend(sorted(extra))
+    return out

@@ -99,6 +99,24 @@ class Trainer:
         ckpt = latest_checkpoint(self.tc.output_dir)
         if ckpt is None:
             return state
+        if self.tc.tune_adapters_only:
+            # adapter-only checkpoints hold just {projector, region} (see
+            # save()) — restore with the matching template and merge into
+            # the fresh state; step/optimizer state are not stored in these
+            # artifacts (frozen-base runs are cheap to warm-restart)
+            template = {
+                k: state.params[k]
+                for k in ("projector", "region")
+                if k in state.params
+            }
+            restored = load_params(ckpt, template)
+            params = dict(state.params)
+            params.update(restored)
+            print(
+                f"resumed adapter weights from {ckpt} "
+                "(adapter-only artifact: step/optimizer state restart at 0)"
+            )
+            return state._replace(params=params)
         restored = load_params(ckpt, state)
         print(f"resumed from {ckpt} at step {int(restored.step)}")
         return restored
@@ -186,8 +204,18 @@ def build_sample_order(
     dataset: SupervisedVideoDataset, tc: TrainConfig
 ) -> List[int]:
     """Grouped sample order (reference grouped sampler,
-    videorefer_trainer.py:210-241)."""
-    lengths = [len(r.get("conversations", [])) for r in dataset.records]
+    videorefer_trainer.py:210-241). Length = total conversation word count
+    (the reference's modality_length proxy) — turn count is ~constant and
+    would make the within-megabatch sort a no-op."""
+    lengths = [
+        sum(
+            len(str(s.get("value", "")).split())
+            for s in r.get("conversations", [])
+            if isinstance(s, dict)
+        )
+        or 1
+        for r in dataset.records
+    ]
     modalities = [("video" in r or "image" in r) for r in dataset.records]
     if tc.group_by_modality_length:
         return modality_length_groups(
