@@ -150,3 +150,30 @@ def test_save_adapter_bins_roundtrip(tmp_path):
     reg_sd = load_adapter_weights(str(tmp_path / "region_encoder.bin"))
     reg = convert_region_encoder(reg_sd)
     _assert_tree_close(reg, jax.tree.map(np.asarray, params["region"]))
+
+
+def test_linear_projector_export_roundtrip(tmp_path):
+    """'mlp2x_gelu' projectors must export/load too (the reference trainer
+    writes mm_projector.bin for every projector type) — export→convert
+    round-trips to identical params via the Sequential 0/2/... key layout."""
+    import jax.numpy as jnp
+
+    from ufvideo_tpu.export import export_projector
+    from ufvideo_tpu.models.projector import build_projector
+    from ufvideo_tpu.weights import convert_projector
+
+    import dataclasses
+
+    cfg = tiny_config()
+    pcfg = dataclasses.replace(cfg.projector, projector_type="mlp2x_gelu")
+    proj = build_projector(pcfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    params = proj.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 4, pcfg.encoder_hidden_size), jnp.float32),
+    )["params"]
+
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in export_projector(params, pcfg).items()}
+    assert set(sd) == {"0.weight", "0.bias", "2.weight", "2.bias"}
+    back = convert_projector(sd, pcfg)
+    _assert_tree_close(back, jax.tree.map(np.asarray, params))

@@ -22,7 +22,7 @@ from .weights import (
     _linear,
     convert_qwen2,
     convert_siglip,
-    convert_stc_projector,
+    convert_projector,
 )
 
 
@@ -117,10 +117,8 @@ def convert_full_checkpoint(
         "vision": convert_siglip(
             _strip(sd, "model.vision_tower.vision_tower."), cfg.vision
         ),
-        "projector": convert_stc_projector(
-            _strip(sd, "model.mm_projector."),
-            depth=cfg.projector.depth,
-            mlp_depth=cfg.projector.mlp_depth,
+        "projector": convert_projector(
+            _strip(sd, "model.mm_projector."), cfg.projector
         ),
         "region": convert_region_encoder(_strip(sd, "model.region_encoder.")),
         "text_fcs": convert_text_hidden_fcs(_strip(sd, "model.")),
@@ -163,9 +161,8 @@ def convert_base_plus_adapters(
     base LLM checkpoint + separately-saved adapter weights."""
     params = convert_full_checkpoint(base_sd, cfg, sam_sd)
     if projector_path:
-        params["projector"] = convert_stc_projector(
-            load_adapter_weights(projector_path),
-            depth=cfg.projector.depth, mlp_depth=cfg.projector.mlp_depth,
+        params["projector"] = convert_projector(
+            load_adapter_weights(projector_path), cfg.projector
         )
     if region_path:
         params["region"] = convert_region_encoder(

@@ -112,7 +112,12 @@ def temporal_iou(pred: Sequence[float], gt: Sequence[float]) -> float:
 
 
 def recall_at_k(ious: Sequence[float], thresholds=(0.3, 0.5, 0.7)):
-    """R@1 at the given tIoU thresholds, as percentages."""
+    """R@1 at the given tIoU thresholds, as percentages.
+
+    STRICT ``>`` by design: the reference scorer counts ``_iou > t``
+    (eval_video_TVG.py:70-74), not the >= some Charades-STA codebases use —
+    exact-boundary ties must not be counted or numbers diverge from the
+    reference's."""
     n = max(len(ious), 1)
     return {
         t: 100.0 * sum(1 for i in ious if i > t) / n for t in thresholds

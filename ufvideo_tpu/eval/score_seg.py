@@ -49,6 +49,10 @@ def _gt_masks_rle(record: Dict) -> List[np.ndarray]:
 def score_sample(record: Dict, pred_root: str, gt_root: str, gt_kind: str):
     preds = load_mask_pngs(pred_root, record["id"])
     if not preds:
+        # samples with no prediction masks are DROPPED from the average,
+        # matching the reference scorer (eval_video_Seg.py:215-227 returns
+        # an empty "skip" result for a missing pred dir) — scoring them 0
+        # would deflate numbers relative to the reference protocol
         return []
     gts = (
         _gt_masks_png(record, gt_root) if gt_kind == "png" else _gt_masks_rle(record)

@@ -219,6 +219,29 @@ def export_stc_projector(
     return out
 
 
+def export_linear_projector(params: Dict) -> Dict[str, Any]:
+    """Inverse of weights.convert_linear_projector ('linear'/'mlpNx_gelu':
+    reference nn.Sequential indices 0, 2, 4, … — odd slots are
+    parameter-free GELUs)."""
+    out: Dict[str, Any] = {}
+    for name, leaf in params.items():  # fc0, fc2, ...
+        _inv_linear(leaf, name.removeprefix("fc"), out)
+    return out
+
+
+def export_projector(params: Dict, pcfg) -> Dict[str, Any]:
+    """Route on projector_type (mirrors models.projector.build_projector) —
+    every trainable projector flavor must export, not just stc_*."""
+    import re as _re
+
+    t = pcfg.projector_type
+    if t == "linear" or _re.match(r"^mlp(\d+)x_gelu$", t):
+        return export_linear_projector(params)
+    return export_stc_projector(
+        params, depth=pcfg.depth, mlp_depth=pcfg.mlp_depth
+    )
+
+
 def export_region_encoder(params: Dict) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     _inv_linear(params["fc0"], "feat_linear.0", out)
@@ -436,10 +459,7 @@ def export_full_checkpoint(params: Dict, cfg: UFVideoConfig) -> Dict[str, Any]:
     out = export_qwen2(params["llm"], cfg.llm)
     for k, v in export_siglip(params["vision"], cfg.vision).items():
         out[f"model.vision_tower.vision_tower.{k}"] = v
-    for k, v in export_stc_projector(
-        params["projector"], depth=cfg.projector.depth,
-        mlp_depth=cfg.projector.mlp_depth,
-    ).items():
+    for k, v in export_projector(params["projector"], cfg.projector).items():
         out[f"model.mm_projector.{k}"] = v
     for k, v in export_region_encoder(params["region"]).items():
         out[f"model.region_encoder.{k}"] = v
@@ -512,12 +532,11 @@ def save_adapter_bins(path: str, params: Dict, cfg: UFVideoConfig) -> None:
     import torch
 
     os.makedirs(path, exist_ok=True)
-    if "projector" in params and cfg.projector.projector_type.startswith("stc"):
+    if "projector" in params:
         sd = {
             f"model.mm_projector.{k}": v
-            for k, v in export_stc_projector(
-                params["projector"], depth=cfg.projector.depth,
-                mlp_depth=cfg.projector.mlp_depth,
+            for k, v in export_projector(
+                params["projector"], cfg.projector
             ).items()
         }
         torch.save(sd, os.path.join(path, "mm_projector.bin"))

@@ -187,8 +187,14 @@ def load_frames(
             fps, n = _video_meta_cv2(video_path)
             read = lambda idxs: _read_video_cv2(video_path, idxs)
 
+        if n <= 0:
+            # cv2 reports 0 frames for unreadable paths and some containers
+            # without frame-count metadata — fail with the path rather than
+            # an IndexError from an empty sampling range downstream
+            raise IOError(f"no decodable frames in {video_path!r} (n={n})")
         f_start = 0 if s is None else max(int(s * fps) - 1, 0)
-        f_end = n - 1 if e is None else min(int(e * fps) - 1, n - 1)
+        f_end = n - 1 if e is None else max(min(int(e * fps) - 1, n - 1), 0)
+        f_start = min(f_start, f_end)  # s/e beyond the video clamp, not crash
         frame_indices = list(range(f_start, f_end + 1))
         duration = len(frame_indices)
         if num_frames is None:

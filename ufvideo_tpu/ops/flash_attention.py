@@ -9,6 +9,16 @@ Supports causal masking (with q/kv length mismatch as used in prefill),
 per-batch kv length masking (padding), and grouped-query attention by
 indexing the shared kv head from the BlockSpec index map (no kv repetition
 in HBM).
+
+Causal alignment contract: query row r sits at position r + (Skv - Sq) —
+BUFFER-end aligned, a static offset. ``kv_lens`` only masks tail padding;
+it does NOT shift the causal diagonal. The two combine correctly for the
+shipped uses (prefill: Sq == Skv, offset 0, rows past kv_len are padding;
+pure kv-padding masking: causal=False). A chunked-decode caller whose q
+chunk ends at kv_lens[b] (valid-END aligned, kv_lens[b] < Skv) must trim
+the kv buffer to kv_lens — passing the padded buffer would place the
+diagonal at the buffer end and let the chunk see its own future. The same
+convention holds in ops/attention.py (xla/blockwise variants).
 """
 
 from __future__ import annotations

@@ -45,8 +45,7 @@ def _ring_attention_local(
     q_offset = my * sq
     row = q_offset + jnp.arange(sq)
 
-    def step(i, carry):
-        kb, vb, m_prev, l_prev, acc = carry
+    def block(i, kb, vb, m_prev, l_prev, acc):
         src = (my - i) % n  # device the current shard originated from
         col = src * skv + jnp.arange(skv)
         s = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kb.astype(jnp.float32))
@@ -64,6 +63,11 @@ def _ring_attention_local(
         l_new = l_prev * corr + jnp.sum(p, axis=-1)
         pv = jnp.einsum("bhgqk,bkhd->bhgqd", p, vb.astype(jnp.float32))
         acc = acc * corr[..., None] + pv
+        return m_new, l_new, acc
+
+    def step(i, carry):
+        kb, vb, m_prev, l_prev, acc = carry
+        m_new, l_new, acc = block(i, kb, vb, m_prev, l_prev, acc)
         # rotate kv shards around the ring (overlaps with the next step's
         # compute under XLA's async collective scheduling)
         perm = [(j, (j + 1) % n) for j in range(n)]
@@ -77,7 +81,11 @@ def _ring_attention_local(
         jnp.zeros((b, hkv, groups, sq), jnp.float32),
         jnp.zeros((b, hkv, groups, sq, d), jnp.float32),
     )
-    _, _, m, l, acc = jax.lax.fori_loop(0, n, step, init)
+    # n-1 rotations suffice for n shards: the loop rotates after each of the
+    # first n-1 blocks and the LAST block runs peeled, so no KV shard ships
+    # a wasted final lap around the ring
+    kb, vb, m, l, acc = jax.lax.fori_loop(0, n - 1, step, init)
+    m, l, acc = block(n - 1, kb, vb, m, l, acc)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     out = out.transpose(0, 3, 1, 2, 4).reshape(b, sq, hq, d)
     return out.astype(q.dtype)

@@ -42,7 +42,7 @@ VISION_RULES: Rules = (
     (r".*", P()),
 )
 
-DEFAULT_RULES: Rules = QWEN2_RULES + VISION_RULES + ((r".*", P()),)
+DEFAULT_RULES: Rules = QWEN2_RULES + VISION_RULES  # VISION_RULES ends in a catch-all
 
 
 def _spec_for(path: str, rules: Rules, ndim: int) -> P:

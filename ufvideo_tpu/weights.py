@@ -249,6 +249,33 @@ def convert_stc_projector(sd: Mapping, depth: int = 4, mlp_depth: int = 2) -> Di
     return params
 
 
+def convert_linear_projector(sd: Mapping) -> Dict[str, Any]:
+    """'linear'/'mlpNx_gelu' mm_projector (reference nn.Sequential indices
+    0, 2, 4, …; odd slots are parameter-free GELUs) → LinearProjector
+    params (fc0, fc2, …)."""
+    sd = {k.removeprefix("mm_projector."): v for k, v in sd.items()}
+    idxs = sorted(
+        {
+            int(k.split(".")[0])
+            for k in sd
+            if k.split(".")[0].isdigit() and k.endswith(".weight")
+        }
+    )
+    return {f"fc{i}": _linear(sd, str(i)) for i in idxs}
+
+
+def convert_projector(sd: Mapping, pcfg) -> Dict[str, Any]:
+    """Route on projector_type (counterpart of export.export_projector)."""
+    import re as _re
+
+    t = pcfg.projector_type
+    if t == "linear" or _re.match(r"^mlp(\d+)x_gelu$", t):
+        return convert_linear_projector(sd)
+    return convert_stc_projector(
+        sd, depth=pcfg.depth, mlp_depth=pcfg.mlp_depth
+    )
+
+
 def cast_tree(tree: Any, dtype) -> Any:
     import jax
     import jax.numpy as jnp
