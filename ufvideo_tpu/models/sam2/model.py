@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ...configs import SAM2Config
-from .common import NO_OBJ_SCORE, SamMLP, position_embedding_sine
+from .common import SamMLP, position_embedding_sine
 from .hiera import FpnNeck, Hiera
 from .memory import MemoryAttention, MemoryEncoder
 from .prompt_mask import MaskDecoder, PromptEncoder
@@ -126,8 +126,11 @@ class SAM2(nn.Module):
         784-813)."""
         feats = self.trunk(images)
         features, pos = self.neck(feats)
-        # scalp=1: drop the lowest-resolution level (sam2.py:799-807)
-        features, pos = features[: -self.cfg.scalp], pos[: -self.cfg.scalp]
+        # scalp=1: drop the lowest-resolution level (sam2.py:799-807);
+        # guarded like the reference — [:-0] would empty the list
+        if self.cfg.scalp > 0:
+            features = features[: -self.cfg.scalp]
+            pos = pos[: -self.cfg.scalp]
         features = [self.conv_s0(features[0]), self.conv_s1(features[1]), features[2]]
         return {"backbone_fpn": features, "vision_pos_enc": pos}
 
@@ -144,6 +147,7 @@ class SAM2(nn.Module):
         point_labels: Optional[jnp.ndarray] = None,  # [B, P]
         mask_inputs: Optional[jnp.ndarray] = None,  # [B, 4H*4, 4W*4, 1]
         multimask_output: bool = True,
+        training: bool = False,  # gates the stability fallback (sam2.py:2074)
     ) -> SamHeadsOutput:
         cfg = self.cfg
         b = backbone_features.shape[0]
@@ -163,10 +167,14 @@ class SAM2(nn.Module):
             dense,
             high_res_features,
             multimask_output,
+            apply_stability=not training,
         )
-        # hard obj/no-obj choice on mask logits (sam2.py:3393-3401)
+        # the upstream-SAM2 hard obj/no-obj mask flooring is DISABLED: the
+        # reference comments out that torch.where (sam2.py:3395-3406), so
+        # mask logits pass through raw even when obj_logits <= 0 (flooring
+        # here would also kill mask-path gradients for those samples);
+        # obj score still gates the obj pointer below (sam2.py:3433-3443)
         is_obj = obj_logits > 0
-        masks = jnp.where(is_obj[:, :, None, None], masks, NO_OBJ_SCORE)
         high_res = _upsample(masks, cfg.hiera.image_size)
 
         if multimask_output:

@@ -230,6 +230,7 @@ class MaskDecoder(nn.Module):
         dense_prompts: jnp.ndarray,  # [B, H, W, C]
         high_res_features: Optional[List[jnp.ndarray]],  # [(B,4H,4W,C/8),(B,2H,2W,C/4)]
         multimask_output: bool,
+        apply_stability: bool = True,
     ):
         cfg = self.cfg
         c = cfg.sam_embed_dim
@@ -316,10 +317,16 @@ class MaskDecoder(nn.Module):
             out_iou = iou_pred[:, 1:]
             # multimask token for obj ptr (use_multimask_token_for_obj_ptr)
             sam_tokens_out = mask_tokens_out[:, 1:]
-        else:
+        elif apply_stability:
+            # dynamic_multimask_via_stability runs at inference only — the
+            # reference gates it with `and not self.training` (sam2.py:2074)
             out_masks, out_iou = self._dynamic_multimask_via_stability(
                 masks, iou_pred
             )
+            sam_tokens_out = mask_tokens_out[:, 0:1]
+        else:
+            out_masks = masks[:, 0:1]
+            out_iou = iou_pred[:, 0:1]
             sam_tokens_out = mask_tokens_out[:, 0:1]
 
         return out_masks, out_iou, sam_tokens_out, object_score_logits

@@ -42,6 +42,11 @@ def resize_normalize(
     t = frames_u8.shape[0]
     x = frames_u8.astype(jnp.float32)
     x = jax.image.resize(x, (t, size, size, 3), method=method)
+    # match the host PIL path's uint8 quantization: bicubic overshoots at
+    # high-contrast edges (values < 0 or > 255), while PIL clamps+rounds to
+    # uint8 before normalization — without this the device and host
+    # "parity" paths disagree exactly at mask-relevant edge pixels
+    x = jnp.clip(jnp.round(x), 0.0, 255.0)
     if rescale:
         x = x / 255.0
     m = jnp.asarray(mean, jnp.float32)

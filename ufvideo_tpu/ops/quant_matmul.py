@@ -95,10 +95,12 @@ def int4_matmul(
 ) -> jnp.ndarray:
     """x @ dequant(q8, scales) with the packed int4 kernel → [..., dout] f32.
 
-    Exact same math as the grouped-einsum reference modulo the order of the
-    f32 accumulation (the kernel dequantizes to bf16 values — identical to
-    what a bf16 checkpoint of the dequantized weights would store — and
-    accumulates in f32)."""
+    NOT bit-identical to the grouped-einsum reference: the +8-biased low
+    nibble means the kernel rounds (w+8)·s at bf16 and de-biases in f32,
+    whereas the einsum rounds w·s — a different bf16 rounding point, on top
+    of f32 accumulation-order differences. Measured divergence ~1e-2
+    max-normalized at 7B dims (see test_int4_matmul_kernel_interpret's
+    tolerance); both sit within int4 quantization error itself."""
     *lead, din = x.shape
     dh, dout = q8.shape
     assert 2 * dh == din and group % 2 == 0 and din % group == 0

@@ -35,15 +35,31 @@ class PrefetchLoader:
         self.collate_fn = collate_fn
         self.batch_size = batch_size
         self.num_workers = max(num_workers, 1)
-        self.out_q: "queue.Queue" = queue.Queue(maxsize=prefetch_batches)
+        self.prefetch_batches = prefetch_batches
+        # per-iteration state: each __iter__ gets its OWN queue + stop flag
+        # so a broken-off epoch's producer can never interleave stale
+        # batches (or its end sentinel) into the next iteration
         self._stop = threading.Event()
+        self._q: Optional["queue.Queue"] = None
         self._thread: Optional[threading.Thread] = None
 
     def __len__(self) -> int:
         return len(self.indices) // self.batch_size
 
-    def _produce(self) -> None:
+    def _produce(self, q: "queue.Queue", stop: threading.Event) -> None:
         from concurrent.futures import ThreadPoolExecutor
+
+        def put(item) -> bool:
+            # bounded put that keeps observing the stop flag: a plain
+            # blocking put() can never be interrupted once the consumer is
+            # gone, pinning decoded batches + the pool forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         try:
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -52,20 +68,26 @@ class PrefetchLoader:
                     for i in range(0, len(self.indices), self.batch_size)
                 ]
                 for idxs in batch_idx:
-                    if len(idxs) < self.batch_size or self._stop.is_set():
+                    if len(idxs) < self.batch_size or stop.is_set():
                         break
                     samples = list(pool.map(self.load_fn, idxs))
-                    self.out_q.put(self.collate_fn(samples))
+                    if not put(self.collate_fn(samples)):
+                        return
         except BaseException as e:  # surface worker failures to the consumer
-            self.out_q.put(e)
+            put(e)
             return
-        self.out_q.put(None)
+        put(None)
 
     def __iter__(self) -> Iterator[Any]:
-        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self.close()  # stop any previous iteration's producer
+        self._stop = threading.Event()
+        self._q = queue.Queue(maxsize=self.prefetch_batches)
+        self._thread = threading.Thread(
+            target=self._produce, args=(self._q, self._stop), daemon=True
+        )
         self._thread.start()
         while True:
-            item = self.out_q.get()
+            item = self._q.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
@@ -73,7 +95,11 @@ class PrefetchLoader:
             yield item
 
     def close(self) -> None:
+        """Stop the producer (unblocks a full-queue put) and join it."""
         self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
 
 
 def device_prefetch(batches: Iterable, to_device: Callable, depth: int = 2):

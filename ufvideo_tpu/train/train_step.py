@@ -69,29 +69,52 @@ def make_optimizer(
         decay_steps=total_steps,
         end_value=0.0,
     )
-    proj = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(proj_schedule, b1=b1, b2=b2, weight_decay=weight_decay),
-    )
-
     def label_fn(params):
         return {
             k: ("projector" if k == "projector" else "base") for k in params
         }
 
-    return optax.multi_transform({"base": base, "projector": proj}, label_fn)
+    # ONE global clip across BOTH groups, applied before the per-group
+    # AdamWs — the reference (HF Trainer param groups, zero2.json clip 1.0)
+    # clips a single global norm over all trainable params; clipping inside
+    # each group would under-clip whenever both groups carry gradient
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {
+                "base": optax.adamw(
+                    schedule, b1=b1, b2=b2, weight_decay=weight_decay
+                ),
+                "projector": optax.adamw(
+                    proj_schedule, b1=b1, b2=b2, weight_decay=weight_decay
+                ),
+            },
+            label_fn,
+        ),
+    )
 
 
-def freeze_mask(params: Any, frozen_top_keys=("vision", "sam")) -> Any:
+def freeze_mask(
+    params: Any,
+    frozen_top_keys=("vision", "sam"),
+    train_sam_mask_decoder: bool = True,
+) -> Any:
     """Trainable mask matching the reference's freezing policy
-    (train.py:861-916: vision tower frozen, SAM2 frozen — its mask decoder
-    optionally trainable via train_mask_decoder — text_hidden_fcs, projector,
-    region encoder and LLM trainable)."""
+    (train.py:861-916: vision tower frozen, SAM2 frozen, text_hidden_fcs,
+    projector, region encoder and LLM trainable). ``train_sam_mask_decoder``
+    mirrors the reference's train_mask_decoder — DEFAULT TRUE (train.py:94;
+    videorefer_arch.py:131-133 re-enables requires_grad on
+    sam_mask_decoder inside the otherwise-frozen SAM2)."""
 
     def mark(key, tree):
-        if key in frozen_top_keys:
-            return jax.tree.map(lambda _: False, tree)
-        return jax.tree.map(lambda _: True, tree)
+        if key not in frozen_top_keys:
+            return jax.tree.map(lambda _: True, tree)
+        if key == "sam" and train_sam_mask_decoder and isinstance(tree, dict):
+            return {
+                k: jax.tree.map(lambda _: k == "sam_mask_decoder", v)
+                for k, v in tree.items()
+            }
+        return jax.tree.map(lambda _: False, tree)
 
     return {k: mark(k, v) for k, v in params.items()}
 
@@ -146,7 +169,7 @@ def language_model_loss_fn(
     return loss, {"ce_loss": ce, "loss": loss}
 
 
-def _build_step(model, optimizer, loss_fn):
+def _build_step(model, optimizer, loss_fn, trainable_mask=None):
     def step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(
             lambda p: loss_fn(model, p, batch), has_aux=True
@@ -157,7 +180,23 @@ def _build_step(model, optimizer, loss_fn):
         )
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # norm over TRAINABLE grads only, selected statically: reading the
+        # frozen towers' grads here would be their only consumer
+        # (set_to_zero never reads values), forcing XLA to keep the whole
+        # frozen backward alive — and the reference's reported norm never
+        # includes requires_grad=False params either
+        if trainable_mask is None:
+            gn = optax.global_norm(grads)
+        else:
+            sel = [
+                g
+                for g, m in zip(
+                    jax.tree.leaves(grads), jax.tree.leaves(trainable_mask)
+                )
+                if m
+            ]
+            gn = optax.global_norm(sel)
+        metrics["grad_norm"] = gn
         return TrainState(state.step + 1, new_params, new_opt), metrics
 
     return step
@@ -169,6 +208,7 @@ def make_train_step(
     mesh: Mesh,
     loss_fn=language_model_loss_fn,
     batch_spec: Optional[P] = None,
+    trainable_mask=None,
 ):
     """Build (init_fn, step_fn), both pjit'd over ``mesh``.
 
@@ -183,7 +223,7 @@ def make_train_step(
         opt_state = optimizer.init(params)
         return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
 
-    step = _build_step(model, optimizer, loss_fn)
+    step = _build_step(model, optimizer, loss_fn, trainable_mask)
 
     def shard_state(state: TrainState) -> TrainState:
         # optimizer state (AdamW mu/nu) mirrors the param tree paths, so the
@@ -274,6 +314,6 @@ def lower_train_step(
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
 
     batch_abs = jax.tree.map(abstract, batch)
-    step = _build_step(model, optimizer, loss_fn)
+    step = _build_step(model, optimizer, loss_fn)  # lowering check: no mask
     lowered = jax.jit(step, donate_argnums=(0,)).lower(state_abs, batch_abs)
     return lowered, state_sh

@@ -43,6 +43,9 @@ class TrainConfig:
     # reference freezing policy: vision tower + SAM2 stay frozen
     # (train.py:861-916, videorefer_arch.py:130-135)
     frozen_modules: tuple = ("vision", "sam")
+    # reference train_mask_decoder default True (train.py:94): the SAM2
+    # mask decoder trains even though the rest of SAM2 is frozen
+    train_mask_decoder: bool = True
     seed: int = 0
 
 
@@ -74,15 +77,20 @@ class Trainer:
         from .train_step import freeze_mask, with_frozen
 
         opt = self.optimizer
+        mask = None
         if self.tc.frozen_modules and all(
             k in params for k in ("llm",)
         ):
-            mask = freeze_mask(params, self.tc.frozen_modules)
+            mask = freeze_mask(
+                params,
+                self.tc.frozen_modules,
+                train_sam_mask_decoder=self.tc.train_mask_decoder,
+            )
             opt = with_frozen(opt, mask)
         self._opt = opt
         kwargs = {} if self._loss_fn is None else {"loss_fn": self._loss_fn}
         self.init_fn, self.step_fn, self.shard_state = make_train_step(
-            self.model, opt, self.mesh, **kwargs
+            self.model, opt, self.mesh, trainable_mask=mask, **kwargs
         )
         self._step_built = True
 
