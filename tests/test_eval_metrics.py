@@ -109,7 +109,11 @@ def test_match_mc_answer():
     assert match_mc_answer("(B) a blue bike", opts) == "B"
     assert match_mc_answer("B.", opts) == "B"
     assert match_mc_answer("I think it is a green bus", opts) == "C"
-    assert match_mc_answer("no idea", opts) == ""
+    # reference default: unmatched outputs fall to option index 2
+    # (inference_video_mcqa_mvbench.py:195-196)
+    assert match_mc_answer("no idea", opts) == "C"
+    # 'Answer'/'answer' words are stripped before letter search
+    assert match_mc_answer("Answer: (A)", opts) == "A"
     assert accuracy([{"pred": "A", "gt": "A"}, {"pred": "B", "gt": "C"}]) == 50.0
 
 

@@ -81,6 +81,44 @@ def data(tmp_path_factory):
     ]
     (root / "seg.json").write_text(json.dumps(seg_questions))
 
+    # pixhqa/pixtrqa reference schema (inference_PixHQA.py:88-120):
+    # frame_idx is a LIST, the question+caption ride in conversations
+    hqa_questions = [
+        {
+            "id": f"s{v}",
+            "video": f"vid{v}",
+            "annotation": region_ann(v),
+            "frame_idx": [1, 3],
+            # real PixTRQA captions carry <TEMP-xxx> spans (no dots
+            # before the sentence end), so the reference's naive
+            # split('.', 1) isolates the temporal sentence cleanly
+            "caption": f"at {{<TEMP-010>, <TEMP-060>}}. object in video {v}",
+            "conversations": [[
+                {"from": "human", "value": "<video>\nDescribe the scene."},
+                {"from": "gpt",
+                 "value": f"at {{<TEMP-010>, <TEMP-060>}}. object {v}"},
+            ]],
+        }
+        for v in range(N_VIDEOS)
+    ]
+    (root / "hqa.json").write_text(json.dumps(hqa_questions))
+
+    # videorefer_q reference schema (inference_videorefer_q_bench.py:88-97)
+    q_questions = [
+        {
+            "id": f"s{v}",
+            "video": f"vid{v}",
+            "annotation": region_ann(v),
+            "frame_idx": 1,
+            "Question": "What is the object <region> doing?",
+            "options": ["(A) running", "(B) sitting", "(C) flying"],
+            "Answer": "(B) sitting",
+            "type": "Basic Questions",
+        }
+        for v in range(N_VIDEOS)
+    ]
+    (root / "q.json").write_text(json.dumps(q_questions))
+
     mevis_questions = [
         {
             "id": f"m{v}",
@@ -149,12 +187,21 @@ def _drive(bench, qfile, data, runtime, tmp, monkeypatch, **extra):
     return out, records
 
 
-@pytest.mark.parametrize("bench", ["pixrqa", "pixhqa", "videorefer_q"])
-def test_seg_refer_benchmarks(bench, data, runtime, tmp_path, monkeypatch):
-    _, records = _drive(bench, "seg.json", data, runtime, tmp_path, monkeypatch)
+@pytest.mark.parametrize(
+    "bench,qfile",
+    [("pixrqa", "seg.json"), ("pixhqa", "hqa.json"),
+     ("videorefer_q", "q.json")],
+)
+def test_seg_refer_benchmarks(bench, qfile, data, runtime, tmp_path,
+                              monkeypatch):
+    _, records = _drive(bench, qfile, data, runtime, tmp_path, monkeypatch)
     for r in records:
         assert r["id"].startswith("s")
         assert "pred" in r and "caption" in r
+        if bench == "videorefer_q":
+            # the q-bench scorer reads Answer/type off the record
+            assert r["Answer"] == "(B) sitting"
+            assert r["type"] == "Basic Questions"
 
 
 @pytest.mark.parametrize("mode", ["single", "multi"])
@@ -165,10 +212,13 @@ def test_videorefer_d(mode, data, runtime, tmp_path, monkeypatch):
 
 
 def test_pixtrqa_span_records(data, runtime, tmp_path, monkeypatch):
-    _, records = _drive("pixtrqa", "seg.json", data, runtime, tmp_path,
+    _, records = _drive("pixtrqa", "hqa.json", data, runtime, tmp_path,
                         monkeypatch)
     for r in records:
         assert "span" in r  # parsed (possibly None) span is always recorded
+        # the leading temporal sentence is split off the judged caption
+        # (inference_PixTRQA.py:290-291)
+        assert r["caption"].strip().startswith("object in video")
 
 
 def test_mevis_to_seg_scorer(data, runtime, tmp_path, monkeypatch, capsys):
@@ -220,8 +270,11 @@ def test_judge_description_with_stub_client(tmp_path):
     from ufvideo_tpu.eval import judge_description as jd
 
     class _Msg:
-        content = ("Subject Correspondence: 4\nAppearance Description: 3\n"
-                   "Temporal Description: 5\nHallucination Detection: 2")
+        # the reference-format judge reply (system.txt OUTPUT FORMAT)
+        content = ("1. Subject Correspondence: 4\nExplanation: a\n"
+                   "2. Appearance Description: 3\nExplanation: b\n"
+                   "3. Temporal Description: 5\nExplanation: c\n"
+                   "4. Hallucination Detection: 2\nExplanation: d")
 
     class _Choice:
         message = _Msg()
@@ -232,7 +285,12 @@ def test_judge_description_with_stub_client(tmp_path):
     class _Completions:
         @staticmethod
         def create(**kw):
-            assert kw["temperature"] == 0.0
+            # reference user format (1.eval_gpt_new.py:16-17); default
+            # sampling params (no temperature pin)
+            assert "temperature" not in kw
+            user = kw["messages"][1]["content"]
+            assert user.startswith("##Correct answer: ")
+            assert "##Predicted answer: " in user
             return _Resp()
 
     class _Chat:

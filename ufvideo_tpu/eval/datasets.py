@@ -21,20 +21,23 @@ from ..mm_utils import process_video, sam_preprocess
 
 
 def _annotation_layout(annotations: List[Dict]) -> Dict[str, Any]:
-    """Shared annotation bookkeeping (inference_PixRQA.py:101-117): collect
-    the union of annotated frame ids, then per-region indices into it."""
-    all_frames: List[str] = []
+    """Annotation bookkeeping translated to this framework's region-slot
+    contract: ONE SLOT PER (annotation, frame) PAIR. The reference decodes
+    the deduped frame union and gathers feats[flatten(ann_indices)] against
+    a pair-parallel mask list (inference_videorefer_d_bench.py:101-132,
+    layer.py:93-97); pair slots (frame pixels duplicated across same-frame
+    slots) reproduce that pairing exactly."""
+    pair_frames: List[int] = []  # original frame id per slot
+    ann_indices: List[List[int]] = []
     for ann in annotations:
+        idxs = []
         for f in ann.keys():
-            if f not in all_frames:
-                all_frames.append(f)
-    all_frames_sorted = sorted(int(f) for f in all_frames)
-    frame_pos = {f: i for i, f in enumerate(all_frames_sorted)}
-    ann_indices = [
-        [frame_pos[int(f)] for f in ann.keys()] for ann in annotations
-    ]
+            idxs.append(len(pair_frames))
+            pair_frames.append(int(f))
+        ann_indices.append(idxs)
     return {
-        "frame_ids": all_frames_sorted,
+        "frame_ids": sorted(set(pair_frames)),  # decode each frame once
+        "pair_frames": pair_frames,
         "ann_indices": ann_indices,
     }
 
@@ -56,8 +59,22 @@ def _decode_masks(
 
 
 class SegReferBenchmark:
-    """PixRQA / PixHQA / PixTRQA / VideoRefer-D style samples: video + region
-    annotations (+ SAM frames for [SEG] decoding)."""
+    """PixRQA / PixHQA / PixTRQA / VideoRefer-D/Q style samples: video +
+    region annotations (+ SAM frames for [SEG] decoding), with the
+    per-benchmark frame protocols of the reference drivers:
+
+    - pixrqa (inference_PixRQA.py:102-150): region = FIRST annotated frame
+      with the first annotation's first mask (the reference overrides
+      ann_indices to [[[0]]] and the region encoder then reads only
+      masks[0]); SAM frames = the sorted annotated frames MINUS the first.
+    - videorefer_d / videorefer_q (inference_videorefer_d_bench.py:94-134):
+      all (annotation, frame) pair regions; SAM frames = all annotated
+      frames; ``--mode single`` keeps only the nominated frame per region.
+    - pixhqa / pixtrqa (inference_PixHQA.py:105-120): NO regions; frames
+      decoded at line['frame_idx'] feed the SAM branch directly.
+    - generic (mevis-style / other): pair regions + uniformly sampled SAM
+      frames.
+    """
 
     def __init__(
         self,
@@ -69,6 +86,7 @@ class SegReferBenchmark:
         mode: Optional[str] = None,
         image_size: Optional[int] = None,
         sam_image_size: Optional[int] = None,
+        benchmark: str = "generic",
     ):
         self.video_folder = video_folder
         self.data_list = list(data_list)
@@ -78,22 +96,40 @@ class SegReferBenchmark:
         self.mode = mode
         self.image_size = image_size
         self.sam_image_size = sam_image_size
+        self.benchmark = benchmark
 
     def __len__(self):
         return len(self.data_list)
 
+    def _sam(self, frames) -> np.ndarray:
+        return (
+            sam_preprocess(frames, self.sam_image_size)
+            if self.sam_image_size
+            else sam_preprocess(frames)
+        )
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         line = self.data_list[idx]
+        bench = self.benchmark
         video_path = os.path.join(self.video_folder, line["video"])
         annotations = line.get("annotation", [])
         if self.mode == "single" and "frame_idx" in line:
-            # VideoRefer-D single mode: keep only the sample's nominated
-            # frame per region (inference_videorefer_d_bench.py:94-99)
+            # single-frame mode: keep only the sample's nominated frame per
+            # region (inference_videorefer_d_bench.py:94-99; the q-bench
+            # driver shares the flag)
             fidx = str(line["frame_idx"])
             annotations = [{fidx: ann[fidx]} for ann in annotations]
-        layout = _annotation_layout(annotations) if annotations else None
 
-        frame_idx = layout["frame_ids"] if layout else None
+        use_regions = bool(annotations) and bench not in ("pixhqa", "pixtrqa")
+        layout = _annotation_layout(annotations) if use_regions else None
+        if bench in ("pixhqa", "pixtrqa"):
+            fi = line["frame_idx"]
+            if not isinstance(fi, (list, tuple)):
+                fi = [fi]
+            frame_idx = [int(f) for f in fi]
+        else:
+            frame_idx = layout["frame_ids"] if layout else None
+
         kw = {"image_size": self.image_size} if self.image_size else {}
         video, dense, h, w, raw_dense = process_video(
             video_path,
@@ -102,31 +138,51 @@ class SegReferBenchmark:
             frame_idx=frame_idx,
             **kw,
         )
+        caption = line.get("caption")
+        if caption is None and bench in ("pixhqa", "pixtrqa"):
+            # gt caption rides in the conversation (inference_PixHQA.py:93)
+            caption = line["conversations"][0][1]["value"]
         sample: Dict[str, Any] = {
             "id": line.get("id", idx),
             "video_name": line["video"],
             "video": video,
             "height": h,
             "width": w,
-            "caption": line.get("caption"),
+            "caption": caption,
             "line": line,
         }
-        if layout:
-            sample["frame"] = dense  # SigLIP-processed annotated frames
-            sample["ann_indices"] = layout["ann_indices"]
-            sample["masks"] = _decode_masks(annotations, h, w)
-        # SAM branch: uniformly sampled raw frames, direct-resized to 1024²
-        # (inference_PixRQA.py:139-150)
-        from ..mm_utils import load_frames
 
-        raw, _, _, _ = load_frames(
-            video_path, num_frames=self.num_sam_frames or self.num_frames
-        )
-        sample["images_sam"] = (
-            sam_preprocess(raw, self.sam_image_size)
-            if self.sam_image_size
-            else sam_preprocess(raw)
-        )
+        if layout:
+            pos = {f: i for i, f in enumerate(layout["frame_ids"])}
+            masks = _decode_masks(annotations, h, w)
+            if bench == "pixrqa":
+                # ONE region: first (sorted) annotated frame + masks[0]
+                # (the reference's ann_indices=[[[0]]] override makes the
+                # region encoder read exactly feats[0] against masks[0])
+                sample["frame"] = dense[:1]
+                sample["masks"] = masks[:1]
+                sample["ann_indices"] = [[0]]
+            else:
+                sample["frame"] = dense[
+                    [pos[f] for f in layout["pair_frames"]]
+                ]
+                sample["masks"] = masks
+                sample["ann_indices"] = layout["ann_indices"]
+
+        # SAM branch (direct-resize to 1024² + SAM normalization)
+        if bench == "pixrqa" and layout:
+            sam_raw = raw_dense[1:] if len(raw_dense) > 1 else raw_dense
+        elif bench in ("videorefer_d", "videorefer_q") and layout:
+            sam_raw = raw_dense
+        elif bench in ("pixhqa", "pixtrqa"):
+            sam_raw = raw_dense
+        else:
+            from ..mm_utils import load_frames
+
+            sam_raw, _, _, _ = load_frames(
+                video_path, num_frames=self.num_sam_frames or self.num_frames
+            )
+        sample["images_sam"] = self._sam(sam_raw)
         return sample
 
 
@@ -154,17 +210,24 @@ class MCQABenchmark:
             video_path,
             s=bound[0] if bound else None,
             e=bound[1] if bound else None,
+            # mvbench runs with aspect_ratio=None — plain resize, no square
+            # padding (inference_video_mcqa_mvbench.py:224)
+            aspect_ratio="square",
             num_frames=self.num_frames,
             **({"image_size": self.image_size} if self.image_size else {}),
         )
         question = d["question"]
         options = d["candidates"]
         letters = [chr(ord("A") + i) for i in range(len(options))]
+        # byte-match the reference instruct (inference_video_mcqa_mvbench.py
+        # :90-97): 'Question: ' prefix, '(X) option\n' per line
+        options_string = "".join(
+            f"({l}) {o}\n" for l, o in zip(letters, options)
+        )
         prompt = (
-            question
-            + "\nOptions:\n"
-            + "\n".join(f"({l}) {o}" for l, o in zip(letters, options))
-            + "\nAnswer with the option's letter from the given choices directly and only give the best option."
+            f"Question: {question}\nOptions:\n{options_string}"
+            "Answer with the option's letter from the given choices "
+            "directly and only give the best option."
         )
         gt_letter = letters[options.index(d["answer"])]
         return {
@@ -197,16 +260,30 @@ class TVGBenchmark:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         line = self.data_list[idx]
-        video_path = os.path.join(self.video_folder, line["video"])
+        # reference Charades-STA schema: image_id / caption / timestamp
+        # (inference_video_TVG.py:251-261); converted files may use
+        # video / query / timestamps instead
+        vid = line.get("video") or line["image_id"]
+        video_path = os.path.join(self.video_folder, vid)
         video, _, h, w, _ = process_video(
             video_path, num_frames=self.num_frames,
+            # reference runs TVG with aspect_ratio='square' (plain resize,
+            # inference_video_TVG.py:379)
+            aspect_ratio="square",
             **({"image_size": self.image_size} if self.image_size else {}),
         )
         query = line.get("query") or line.get("event") or line.get("caption")
+        # reference normalization: strip dots, strip spaces, LOWERCASE
+        # (inference_video_TVG.py:252-253)
+        query = query.strip(".").strip(" ").lower()
         return {
             "id": line.get("id", idx),
-            "vid": line["video"],
+            "vid": vid,
             "video": video,
-            "question": self.PROMPT.replace("<event>", query.strip().rstrip(".")),
-            "gt": line.get("timestamps") or line.get("gt"),
+            "question": self.PROMPT.replace("<event>", query),
+            "gt": (
+                line.get("timestamps")
+                or line.get("timestamp")
+                or line.get("gt")
+            ),
         }

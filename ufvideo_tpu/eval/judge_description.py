@@ -23,20 +23,28 @@ from .util import read_all_ranks
 DIMENSIONS = ["Subject Correspondence", "Appearance Description",
               "Temporal Description", "Hallucination Detection"]
 
-SYSTEM_PROMPT = """You are an expert evaluator of video object descriptions.
-Given a ground-truth caption and a model-generated description of the same
-object in a video, rate the generated description on four dimensions, each
-an integer from 0 to 5:
-1. Subject Correspondence: does the description refer to the same object?
-2. Appearance Description: accuracy of color/shape/texture details.
-3. Temporal Description: accuracy of actions and their order over time.
-4. Hallucination Detection: 5 = no fabricated content, 0 = mostly fabricated.
-Reply with exactly four lines, 'Dimension Name: score'."""
+# the reference rubric VERBATIM (eval/videorefer_bench_d/system.txt) — the
+# judge prompt is a byte-level behavioral spec: a paraphrased rubric yields
+# scores that are not comparable with reference-judged results
+SYSTEM_PROMPT = """You are an advanced intelligent chatbot specialized in evaluating the factual accuracy of generative outputs related to object-based video descriptions.
+Your primary task is to meticulously compare the predicted answer with the correct answer and assess their factual consistency. To accomplish this, you will evaluate the descriptions across four key dimensions:
+1. Subject Correspondence: Assess whether the subject of the input description accurately matches the subject indicated in the ground truth description.
+2. Appearance Description: Evaluate the accuracy of the appearance details, including color, shape, size, texture, and any other relevant visual attributes.
+3. Temporal Description: Analyze whether the depiction of the object's motion aligns with the actual movements described in the correct answer.
+4. Hallucination Detection: Identify any discrepancies by determining if the description includes facts, actions, or elements that do not exist in reality, such as imaginative interpretations or incorrect inferences.
+Please assign a score for each of these four dimensions, using an integer from 0 to 5, where 5 indicates a perfect match and 0 signifies no relevance at all. Accompany your assessments with brief explanations to clarify your scoring rationale.
+### OUTPUT FORMAT(EXAMPLE)
+1. Subject Correspondence: 5\\nExplanation: xxx
+2. Appearance Description: 4\\nExplanation: xxx
+3. Temporal Description: 5\\nExplanation: xxx
+4. Hallucination Detection: 3\\nExplanation: xxx"""
 
 
 def judge_one(client, model_name: str, gt: str, pred: str, retries: int = 5):
-    """Score one (gt, pred) pair with retry (reference 1.eval_gpt_new.py:20-48)."""
-    user = f"Ground-truth caption: {gt}\nGenerated description: {pred}"
+    """Score one (gt, pred) pair with retry (reference 1.eval_gpt_new.py:
+    8-48: '##Correct answer:'/'##Predicted answer:' user format, default
+    sampling temperature)."""
+    user = f"##Correct answer: {gt}\n##Predicted answer: {pred}\n"
     for attempt in range(retries):
         try:
             resp = client.chat.completions.create(
@@ -45,7 +53,6 @@ def judge_one(client, model_name: str, gt: str, pred: str, retries: int = 5):
                     {"role": "system", "content": SYSTEM_PROMPT},
                     {"role": "user", "content": user},
                 ],
-                temperature=0.0,
             )
             return resp.choices[0].message.content
         except Exception as e:  # pragma: no cover - network path
@@ -108,7 +115,8 @@ def main():
     j = sub.add_parser("judge")
     j.add_argument("--pred-path", required=True)
     j.add_argument("--out", required=True)
-    j.add_argument("--judge-model", default="gpt-4o")
+    # pinned snapshot, as the reference judges with (1.eval_gpt_new.py:23)
+    j.add_argument("--judge-model", default="gpt-4o-2024-08-06")
     e = sub.add_parser("extract")
     e.add_argument("--in", required=True)
     e.add_argument("--out", required=True)

@@ -198,21 +198,23 @@ def parse_temporal_span(text: str) -> Optional[Tuple[float, float]]:
 # --------------------------------------------------------------------------
 
 def match_mc_answer(pred: str, options: Sequence[str]) -> str:
-    """Map free-form output to an option letter (A, B, ...), mirroring the
-    reference's letter-first matching (eval/inference_video_mcqa_mvbench.py
-    mvbench_dump)."""
+    """Map free-form output to an option letter (A, B, ...), reproducing
+    the reference's mvbench_dump EXACTLY
+    (eval/inference_video_mcqa_mvbench.py:172-198): strip 'answer'/'Answer',
+    find the FIRST letter-like token anywhere (quirks included — a bare
+    capital 'A' article matches), else option-text containment, else
+    default to option index 2."""
     letters = [chr(ord("A") + i) for i in range(len(options))]
-    pred_clean = pred.strip()
-    # leading letter ("A", "A.", "(A)", "A)")
-    m = re.match(r"^\(?([A-Z])[).:\s]?", pred_clean)
-    if m and m.group(1) in letters:
-        return m.group(1)
-    # full option text containment
-    low = pred_clean.lower()
+    text = pred.replace("answer", "").replace("Answer", "")
+    found = re.findall(
+        rf"[\(,\ ]*[{letters[0]}-{letters[-1]}][\),\ ]*", text
+    )
+    if found:
+        return found[0].strip().strip("()")
     for letter, opt in zip(letters, options):
-        if opt.strip().lower() in low:
+        if opt.lower() in text.lower():
             return letter
-    return ""
+    return letters[2] if len(letters) > 2 else letters[-1]
 
 
 def accuracy(records: Sequence[dict], pred_key="pred", gt_key="gt") -> float:

@@ -38,16 +38,42 @@ VIDEOREFER_D_QUESTION = (
 )
 
 
+# per-benchmark mm_infer choice, matching the reference drivers exactly:
+# choice=1 prepends '<video>\n' (the fixed pixrqa/d/q questions carry no
+# modal token themselves — inference_PixRQA.py:248,
+# inference_videorefer_d_bench.py:241, _q_bench.py:241), while the
+# pixhqa/pixtrqa questions come from conversations that already embed it
+# (inference_PixHQA.py:204, inference_PixTRQA.py:276, both choice=2)
+SEG_REFER_CHOICE = {
+    "pixrqa": 1,
+    "videorefer_d": 1,
+    "videorefer_q": 1,
+    "pixhqa": 2,
+    "pixtrqa": 2,
+}
+
+
 def _seg_refer_question(sample, args, question=None):
-    q = question or sample["line"]["conversations"][0][0]["value"]
+    line = sample["line"]
+    if args.benchmark == "videorefer_q" and "Question" in line:
+        # Q-bench builds an MC prompt: bracketed region + options + letter
+        # instruction (inference_videorefer_q_bench.py:91-92)
+        return (
+            line["Question"].replace("<region>", "[<region>]")
+            + " "
+            + " ".join(line["options"])
+            + ". Answer with the option's letter from the given choices "
+            "directly."
+        )
+    q = question or line["conversations"][0][0]["value"]
     if args.benchmark == "videorefer_q":
-        # Q-bench wraps region tokens in brackets
-        # (reference: inference_videorefer_q_bench.py:91)
         q = q.replace("<region>", "[<region>]")
     return q
 
 
-def _seg_refer_step(model, tokenizer, sample, args, choice=2, question=None):
+def _seg_refer_step(model, tokenizer, sample, args, choice=None, question=None):
+    if choice is None:
+        choice = SEG_REFER_CHOICE.get(args.benchmark, 2)
     q = _seg_refer_question(sample, args, question)
     out = mm_infer(
         sample["video"],
@@ -112,8 +138,15 @@ def run_benchmark(args, runtime=None) -> None:
         ds = SegReferBenchmark(
             args.video_folder, questions,
             num_sam_frames=args.num_sam_frames or None,
-            mode=args.mode if bench == "videorefer_d" else None,
+            # the q-bench driver shares --mode with d-bench
+            # (inference_videorefer_q_bench.py:269, default 'single')
+            mode=(
+                args.mode
+                if bench in ("videorefer_d", "videorefer_q")
+                else None
+            ),
             image_size=image_size, sam_image_size=sam_image_size,
+            benchmark=bench,
             **frames_kw,
         )
         question = {
@@ -122,14 +155,33 @@ def run_benchmark(args, runtime=None) -> None:
         }.get(bench)
 
         def emit_seg(sample, text, extra):
+            pred, caption = text, sample.get("caption")
+            if bench in ("pixrqa", "pixhqa"):
+                # the judged description stops before the seg boilerplate
+                # (inference_PixRQA.py:260, inference_PixHQA.py:216)
+                pred = text.split("The segmentation mask")[0]
+            elif bench == "pixtrqa":
+                # drop the leading temporal sentence from both sides + the
+                # seg boilerplate (inference_PixTRQA.py:289-292); the span
+                # itself is parsed from the FULL output below
+                if "." in text:
+                    pred = text.split(".", 1)[1]
+                pred = pred.split("The segmentation mask")[0]
+                if caption and "." in caption:
+                    caption = caption.split(".", 1)[1]
             rec: Dict[str, Any] = {
                 "id": sample["id"],
                 "video": sample["video_name"],
-                "pred": text,
-                "caption": sample.get("caption"),
+                "pred": pred,
+                "caption": caption,
             }
             if bench == "pixtrqa":
                 rec["span"] = parse_temporal_span(text)
+            if bench == "videorefer_q":
+                # the q-bench scorer reads Answer/pred/type
+                # (eval_videorefer_bench_q.py:25-40)
+                rec["Answer"] = sample["line"].get("Answer")
+                rec["type"] = sample["line"].get("type")
             # masks BEFORE the JSONL row: a mid-emit failure then leaves no
             # row behind, so the per-sample fallback can safely retry the
             # sample without double-counting it in the scorer
@@ -260,7 +312,8 @@ def _seg_refer_loop(ds, model, tokenizer, args, emit, question=None):
                         }
                         for s in group
                     ],
-                    model, tokenizer, modal="video", choice=2,
+                    model, tokenizer, modal="video",
+                    choice=SEG_REFER_CHOICE.get(args.benchmark, 2),
                     max_new_tokens=args.max_new_tokens,
                 )
                 for s, (text, extra) in zip(group, results):

@@ -107,7 +107,7 @@ class MLPReadout(nn.Module):
             name="fc0",
         )(x)
         for i in range(1, self.depth):
-            x = nn.gelu(x, approximate=True)
+            x = nn.gelu(x, approximate=False)  # torch nn.GELU() default: EXACT erf
             x = nn.Dense(
                 self.features, dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"fc{2 * i}",
@@ -196,7 +196,7 @@ class LinearProjector(nn.Module):
             param_dtype=self.param_dtype, name="fc0",
         )(x)
         for i in range(1, depth):
-            x = nn.gelu(x, approximate=True)
+            x = nn.gelu(x, approximate=False)  # torch nn.GELU() default: EXACT erf
             x = nn.Dense(
                 self.cfg.hidden_size, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"fc{2 * i}",

@@ -176,7 +176,7 @@ class RegionProjector(nn.Module):
             param_dtype=self.param_dtype, name="fc0",
         )(x.astype(self.dtype))
         for i in range(1, self.cfg.depth):
-            x = nn.gelu(x, approximate=True)
+            x = nn.gelu(x, approximate=False)  # torch nn.GELU() default: EXACT erf
             x = nn.Dense(
                 self.cfg.hidden_size, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"fc{2 * i}",
