@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ufvideo_tpu.ops.attention import xla_attention
+from ufvideo_tpu.ops.attention import attention, xla_attention
 from conftest import requires_tpu
 
 
@@ -135,3 +135,38 @@ def test_flash_kv_mask_interpret():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
     )
+
+
+def test_kv_mask_folds_into_explicit_mask():
+    """attention(kv_mask=..., mask=...) must honor BOTH constraints (the
+    kv-validity mask used to be dropped whenever an explicit mask was also
+    given)."""
+    import numpy as np
+
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (2, 4, 2, 8))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (2, 6, 2, 8))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (2, 6, 2, 8))
+    kv_mask = jnp.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 0]], bool)
+    all_true = jnp.ones((2, 4, 6), bool)
+
+    only_kv = attention(q, k, v, kv_mask=kv_mask, impl="xla")
+    both = attention(q, k, v, kv_mask=kv_mask, mask=all_true, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(both), np.asarray(only_kv), atol=1e-6
+    )
+
+
+def test_blockwise_with_mask_falls_back_to_xla():
+    """impl='blockwise' has no arbitrary-mask support — the dispatcher must
+    route to xla rather than silently ignoring the mask."""
+    import numpy as np
+
+    rng = jax.random.PRNGKey(1)
+    q = jax.random.normal(rng, (1, 4, 2, 8))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 2, 8))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (1, 4, 2, 8))
+    mask = jnp.tril(jnp.ones((4, 4), bool))
+    ref = attention(q, k, v, mask=mask, impl="xla")
+    got = attention(q, k, v, mask=mask, impl="blockwise")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

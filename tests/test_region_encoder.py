@@ -117,3 +117,25 @@ def test_resize_mask_matches_torch_bilinear():
         np.testing.assert_array_equal(got > 0, got_np > 0)
         if (h, w) == (grid, grid):  # identity case
             np.testing.assert_array_equal(got, m)
+
+
+def test_bicubic_matrix_matches_torch():
+    """ops.interp.bicubic_matrix == torch F.interpolate(mode='bicubic',
+    align_corners=False) — the Hiera pos-embed path (hiera.py) depends on
+    this; jax.image.resize's cubic kernel (Keys a=-0.5 vs torch's -0.75)
+    deviates by ~0.2 on unit-std inputs."""
+    import torch
+    import torch.nn.functional as F
+
+    from ufvideo_tpu.ops.interp import bicubic_matrix
+
+    rng = np.random.default_rng(3)
+    for src, dst in [(7, 64), (7, 256), (14, 32), (32, 7), (8, 8)]:
+        x = rng.standard_normal((2, 3, src, src)).astype(np.float32)
+        ref = F.interpolate(
+            torch.from_numpy(x), size=(dst, dst), mode="bicubic",
+            align_corners=False,
+        ).numpy()
+        m = bicubic_matrix(src, dst)
+        got = np.einsum("hy,bcyx,wx->bchw", m, x, m)
+        np.testing.assert_allclose(got, ref, atol=3e-5)

@@ -45,27 +45,7 @@ def mask_pool(
     return pooled / denom[:, None]
 
 
-def bilinear_matrix(src: int, dst: int) -> "np.ndarray":
-    """[dst, src] interpolation matrix equal to torch
-    ``F.interpolate(mode='bilinear', align_corners=False, antialias=False)``
-    along one dimension (layer.py:137-139): half-pixel source coords, two
-    taps, edge-clamped. NOT jax.image.resize — that antialiases on
-    downsample (triangle kernel widened by the scale factor), which inflates
-    the >0 support that mask_pool thresholds on.
-
-    Built in numpy so the host-side twin (`resize_mask_to_grid_np`) and the
-    jitted path share the exact same float32 weights."""
-    import numpy as np
-
-    i = np.arange(dst, dtype=np.float32)
-    c = np.clip((i + 0.5) * (src / dst) - 0.5, 0.0, src - 1.0)
-    i0 = np.floor(c).astype(np.int64)
-    i1 = np.minimum(i0 + 1, src - 1)
-    w1 = (c - i0).astype(np.float32)
-    m = np.zeros((dst, src), np.float32)
-    m[np.arange(dst), i0] += 1.0 - w1
-    m[np.arange(dst), i1] += w1
-    return m
+from ..ops.interp import bilinear_matrix  # torch-exact weights (one source)
 
 
 def resize_mask_to_grid(masks: jnp.ndarray, grid: int) -> jnp.ndarray:

@@ -428,8 +428,15 @@ class Hiera(nn.Module):
             (cfg.window_spec[0], cfg.window_spec[0], cfg.embed_dim),
             self.param_dtype,
         )
-        bg_r = jax.image.resize(
-            bg.astype(jnp.float32), (h, w, cfg.embed_dim), method="bicubic"
+        # torch-exact bicubic (Keys a=-0.75): jax.image.resize's cubic
+        # kernel (a=-0.5) deviates by up to ~0.2 on unit-std inputs, a
+        # systematic perturbation ahead of block 0 (ops/interp.py)
+        from ...ops.interp import bicubic_matrix
+
+        mh = jnp.asarray(bicubic_matrix(bg.shape[0], h))
+        mw = jnp.asarray(bicubic_matrix(bg.shape[1], w))
+        bg_r = jnp.einsum(
+            "hy,yxc,wx->hwc", mh, bg.astype(jnp.float32), mw
         )
         tiles = (h // win.shape[0], w // win.shape[1], 1)
         pos = bg_r + jnp.tile(win.astype(jnp.float32), tiles)

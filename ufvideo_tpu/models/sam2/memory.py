@@ -33,7 +33,6 @@ class RoPEAttention(nn.Module):
     tiled across k's stacked memory frames."""
 
     cfg: SAM2Config
-    kv_in_dim: Optional[int] = None
     rope_k_repeat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -105,6 +104,7 @@ class MemoryAttentionLayer(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (reference uses it)
             dtype=jnp.float32, param_dtype=self.param_dtype, name=name
         )
         # self-attention (pos_enc_at_attn=False → no pos added)
@@ -118,7 +118,7 @@ class MemoryAttentionLayer(nn.Module):
         # cross-attention: keys get pos added (pos_enc_at_cross_attn_keys)
         t2 = ln("norm2")(tgt).astype(self.dtype)
         t2 = RoPEAttention(
-            cfg, kv_in_dim=cfg.mem_dim, rope_k_repeat=True,
+            cfg, rope_k_repeat=True,  # k/v input width inferred from the memory tensor
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="cross_attn_image",
         )(
@@ -173,6 +173,7 @@ class MemoryAttention(nn.Module):
                 kv_mask=kv_mask,
             )
         return nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (reference uses it)
             dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
         )(out).astype(self.dtype)
 

@@ -144,6 +144,7 @@ class TwoWayAttentionBlock(nn.Module):
             name=name,
         )
         ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (reference uses it)
             dtype=jnp.float32, param_dtype=self.param_dtype, name=name
         )
         if self.skip_first_layer_pe:
@@ -203,6 +204,7 @@ class TwoWayTransformer(nn.Module):
         )(q, k, keys)
         queries = queries + attn_out
         queries = nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (reference uses it)
             dtype=jnp.float32, param_dtype=self.param_dtype,
             name="norm_final_attn",
         )(queries).astype(self.dtype)

@@ -246,14 +246,22 @@ def attention(
             return _jnp.repeat(v, hq // hkv, axis=2).astype(q.dtype)
         return v.astype(q.dtype)
     if impl == "blockwise":
-        return blockwise_attention(
-            q, k, v, causal=causal, kv_lens=kv_lens, kv_mask=kv_mask,
-            scale=scale,
-        )
-    if kv_mask is not None and mask is None:
-        mask = jnp.broadcast_to(
+        if mask is not None:
+            # blockwise has no arbitrary-mask support — fall through to the
+            # XLA path rather than silently returning unmasked attention
+            impl = "xla"
+        else:
+            return blockwise_attention(
+                q, k, v, causal=causal, kv_lens=kv_lens, kv_mask=kv_mask,
+                scale=scale,
+            )
+    if kv_mask is not None:
+        km = jnp.broadcast_to(
             kv_mask[:, None, :], (kv_mask.shape[0], q.shape[1], kv_mask.shape[1])
         )
+        # fold kv validity INTO an explicit mask instead of dropping it —
+        # both constraints must hold
+        mask = km if mask is None else jnp.logical_and(mask, km)
     return xla_attention(
         q, k, v, causal=causal, kv_lens=kv_lens, mask=mask, scale=scale
     )

@@ -105,7 +105,12 @@ def decode(rle: Dict) -> np.ndarray:
     values[1::2] = 1  # runs alternate 0, 1, 0, 1, ...
     flat = np.repeat(values, counts)
     if flat.size != h * w:
-        flat = np.resize(flat, h * w)
+        # a run-length sum that disagrees with size means corrupt data
+        # (size recorded [w, h], truncated counts, ...) — fail loudly
+        # instead of tiling/truncating a silently-wrong mask
+        raise ValueError(
+            f"RLE counts sum to {flat.size}, expected h*w={h * w}"
+        )
     return flat.reshape((h, w), order="F")
 
 
@@ -160,9 +165,11 @@ def poly_to_rle(polys: Sequence[Sequence[float]], h: int, w: int) -> Dict:
 
 def ann_to_mask(mask_ann, h: int | None = None, w: int | None = None) -> np.ndarray:
     """Reference annToMask (mm_utils.py:22-33): polygons, uncompressed RLE,
-    or compressed RLE → binary mask."""
+    or compressed RLE → binary mask (decode handles both RLE flavors)."""
     if isinstance(mask_ann, list):
+        if h is None or w is None:
+            raise ValueError(
+                "polygon annotations need explicit h/w to rasterize"
+            )
         return decode(poly_to_rle(mask_ann, h, w))
-    if isinstance(mask_ann.get("counts"), list):
-        return decode(mask_ann)
     return decode(mask_ann)
