@@ -160,8 +160,17 @@ def bench_decode(
     new_tokens: int = 64,
     quant: bool = None,
     kv_quant: bool = False,
+    num_layers: int = None,
+    vocab_size: int = None,
 ):
-    """7B greedy decode throughput (tokens/sec/chip)."""
+    """7B greedy decode throughput (tokens/sec/chip).
+
+    ``num_layers`` / ``vocab_size`` overrides exist for on-chip cost
+    bisection of the decode step (int8 bs-1 sits at 90.2 of a ~117 tok/s
+    weight-bandwidth ceiling): t(28 layers) vs t(14) separates the
+    per-layer cost from the fixed per-step cost (lm_head+argmax+sampling
+    plumbing+dispatch), and a shrunk vocab isolates the lm_head share of
+    the fixed part."""
     import dataclasses
 
     import jax
@@ -174,6 +183,10 @@ def bench_decode(
     cfg = Qwen2Config()
     if os.environ.get("UFVIDEO_BENCH_SMALL", "") == "1":
         cfg = dataclasses.replace(cfg, num_layers=4)
+    if num_layers:
+        cfg = dataclasses.replace(cfg, num_layers=num_layers)
+    if vocab_size:
+        cfg = dataclasses.replace(cfg, vocab_size=vocab_size)
     if quant is None:
         quant = os.environ.get("UFVIDEO_BENCH_QUANT", "") == "1"
     model = Qwen2LM(
@@ -207,6 +220,10 @@ def bench_decode(
     name += "_kvq8" if kv_quant else ""
     if batch > 1:
         name += f"_batch{batch}"
+    if num_layers:
+        name += f"_L{num_layers}"
+    if vocab_size:
+        name += f"_v{vocab_size // 1000}k"
     return name + "_tokens_per_sec", tps, "tokens/s/chip"
 
 
@@ -485,6 +502,9 @@ def _mode_fns():
         "decode_int8_kvq8": lambda: bench_decode(quant=True, kv_quant=True),
         "decode_int4": lambda: bench_decode(quant="int4"),
         "decode_int4_kvq8": lambda: bench_decode(quant="int4", kv_quant=True),
+        # on-chip decode-cost bisection (see bench_decode docstring)
+        "decode_int8_L14": lambda: bench_decode(quant=True, num_layers=14),
+        "decode_int8_v50k": lambda: bench_decode(quant=True, vocab_size=50304),
         "prefill": bench_prefill,
         "sam_encode": bench_sam_encode,
         "e2e": bench_e2e,
