@@ -227,6 +227,64 @@ def bench_decode(
     return name + "_tokens_per_sec", tps, "tokens/s/chip"
 
 
+def bench_decode_spec(
+    best: bool = True,
+    k: int = 4,
+    prompt_len: int = 512,
+    new_tokens: int = 64,
+    quant: bool = True,
+):
+    """Prompt-lookup speculative decode, acceptance-bracket benchmarks.
+
+    Acceptance is workload-dependent, so this measures the two ends:
+    ``best=True`` zeroes the weights (constant logits → every draft
+    accepted) — the upper bound, where each weight-read pass emits K+1
+    tokens; ``best=False`` uses random weights + random prompt ids (~zero
+    acceptance) — the worst case, plain decode plus the verify overhead.
+    Real workloads land in between; output exactness is unconditional
+    (tests/test_speculative.py)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ufvideo_tpu.configs import Qwen2Config
+    from ufvideo_tpu.models.qwen2 import Qwen2LM
+    from ufvideo_tpu.models.speculative import spec_generate
+
+    cfg = Qwen2Config()
+    if os.environ.get("UFVIDEO_BENCH_SMALL", "") == "1":
+        cfg = dataclasses.replace(cfg, num_layers=4)
+    model = Qwen2LM(
+        cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, quant=quant
+    )
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))[
+            "params"
+        ]
+    )
+    params = _random_params(shapes)
+    if best:
+        params = jax.tree.map(jnp.zeros_like, params)
+    ids = jax.random.randint(
+        jax.random.PRNGKey(1), (1, prompt_len), 3, cfg.vocab_size
+    ).astype(jnp.int32)
+    embeds = model.apply({"params": params}, ids, method=Qwen2LM.embed)
+    seq_lens = jnp.full((1,), prompt_len, jnp.int32)
+
+    def run():
+        return spec_generate(
+            model, params, embeds, seq_lens, ids,
+            max_new_tokens=new_tokens, stop_ids=(-1,),
+            cache_max_len=prompt_len + new_tokens + k, draft_k=k,
+        ).tokens
+
+    dt = _timeit(run, warmup=1, iters=3)
+    name = "qwen2_7b_decode" + ("_int8" if quant else "")
+    name += f"_spec{k}_" + ("best" if best else "worst")
+    return name + "_tokens_per_sec", new_tokens / dt, "tokens/s/chip"
+
+
 def bench_prefill(batch: int = 1, seq: int = 2048):
     """7B prefill throughput (prompt tokens/sec/chip)."""
     import dataclasses
@@ -505,6 +563,9 @@ def _mode_fns():
         # on-chip decode-cost bisection (see bench_decode docstring)
         "decode_int8_L14": lambda: bench_decode(quant=True, num_layers=14),
         "decode_int8_v50k": lambda: bench_decode(quant=True, vocab_size=50304),
+        # speculative-decode acceptance brackets (see bench_decode_spec)
+        "decode_int8_spec_best": lambda: bench_decode_spec(best=True),
+        "decode_int8_spec_worst": lambda: bench_decode_spec(best=False),
         "prefill": bench_prefill,
         "sam_encode": bench_sam_encode,
         "e2e": bench_e2e,

@@ -37,6 +37,10 @@ def main():
     p.add_argument("--prefill-chunk", type=int, default=0,
                    help="chunked prefill: sequences per prefill dispatch "
                         "(bounds activation transients at large batches)")
+    p.add_argument("--spec-decode", type=int, default=0,
+                   help="prompt-lookup speculative decoding draft length "
+                        "(greedy-exact; serves greedy requests with fewer "
+                        "weight-read passes; 0 = off)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=8)
@@ -67,6 +71,8 @@ def main():
         cfg = cfg.replace(quant_kv=True)
     if args.prefill_chunk:
         cfg = cfg.replace(prefill_chunk=args.prefill_chunk)
+    if args.spec_decode:
+        cfg = cfg.replace(spec_decode=args.spec_decode)
 
     model, _, tokenizer = model_init(
         args.model_path or None,

@@ -203,25 +203,47 @@ class UFVideoRuntime:
         # and decode-read time). Bucketing keeps recompiles bounded.
         real_len = int(max(plan.seq_lens))
         trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
-        res = greedy_generate(
-            self.model.llm,
-            self.params["llm"],
-            embeds[:, :trim],
-            jnp.asarray(plan.seq_lens),
-            max_new_tokens=max_new_tokens,
-            stop_ids=(self.ids.eos,),
-            cache_max_len=trim + max_new_tokens,
-            vocab_size=cfg.llm.vocab_size,
-            do_sample=do_sample,
-            temperature=temperature,
-            top_p=top_p,
-            rng=jax.random.PRNGKey(seed),
-            stop_sequences=tuple(tuple(s) for s in stop_sequences),
-            kv_quant=bool(cfg.quant_kv),
-            # greedy_generate gates validity itself (any 0<chunk<b works,
-            # non-dividing batches included)
-            prefill_chunk=cfg.prefill_chunk,
-        )
+        spec_k = int(cfg.spec_decode or 0)
+        if spec_k and not do_sample and not stop_sequences:
+            # prompt-lookup speculative decoding (greedy-exact; sampling and
+            # in-loop multi-token stops stay on the plain loop)
+            from .models.speculative import spec_generate
+            from .splicing import plan_lookup_ids
+
+            res = spec_generate(
+                self.model.llm,
+                self.params["llm"],
+                embeds[:, :trim],
+                jnp.asarray(plan.seq_lens),
+                jnp.asarray(plan_lookup_ids(plan)[:, :trim]),
+                max_new_tokens=max_new_tokens,
+                stop_ids=(self.ids.eos,),
+                cache_max_len=trim + max_new_tokens + spec_k,
+                draft_k=spec_k,
+                vocab_size=cfg.llm.vocab_size,
+                kv_quant=bool(cfg.quant_kv),
+                prefill_chunk=cfg.prefill_chunk,
+            ).as_generate_result()
+        else:
+            res = greedy_generate(
+                self.model.llm,
+                self.params["llm"],
+                embeds[:, :trim],
+                jnp.asarray(plan.seq_lens),
+                max_new_tokens=max_new_tokens,
+                stop_ids=(self.ids.eos,),
+                cache_max_len=trim + max_new_tokens,
+                vocab_size=cfg.llm.vocab_size,
+                do_sample=do_sample,
+                temperature=temperature,
+                top_p=top_p,
+                rng=jax.random.PRNGKey(seed),
+                stop_sequences=tuple(tuple(s) for s in stop_sequences),
+                kv_quant=bool(cfg.quant_kv),
+                # greedy_generate gates validity itself (any 0<chunk<b works,
+                # non-dividing batches included)
+                prefill_chunk=cfg.prefill_chunk,
+            )
         out = []
         for i in range(b):
             n = int(res.gen_lens[i])

@@ -244,6 +244,11 @@ class UFVideoConfig:
     # at a time (bit-identical; bounds the [B*S, intermediate] transients
     # that OOM large batches — see models/generate.py)
     prefill_chunk: int = 0
+    # prompt-lookup speculative decoding: >0 drafts this many tokens per
+    # step and verifies them in one multi-token forward (greedy-exact;
+    # models/speculative.py). Applies to greedy generation without
+    # multi-token stop sequences; other calls fall back to plain decode.
+    spec_decode: int = 0
 
     @property
     def num_video_tokens(self) -> int:

@@ -108,12 +108,13 @@ def run_benchmark(args, runtime=None) -> None:
         quant = getattr(args, "quant", "")
         kvq = getattr(args, "kv_quant", False)
         pchunk = getattr(args, "prefill_chunk", 0)
-        if quant or kvq or pchunk:
+        speck = getattr(args, "spec_decode", 0)
+        if quant or kvq or pchunk or speck:
             from ..configs import UFVideoConfig
 
             cfg = UFVideoConfig(
                 quant_llm=quant or False, quant_kv=bool(kvq),
-                prefill_chunk=int(pchunk),
+                prefill_chunk=int(pchunk), spec_decode=int(speck),
             )
         model, _, tokenizer = model_init(
             args.model_path or None,
@@ -412,6 +413,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefill-chunk", type=int, default=0,
                    help="prefill this many sequences at a time (bounds "
                         "batched-prefill HBM transients; 0 = whole batch)")
+    p.add_argument("--spec-decode", type=int, default=0,
+                   help="prompt-lookup speculative decoding with this draft "
+                        "length (greedy-exact; amortizes the per-token "
+                        "weight reads that bound bs-1 decode; 0 = off)")
     return p
 
 

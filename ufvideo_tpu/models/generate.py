@@ -59,6 +59,80 @@ def _sample_token(logits: jnp.ndarray, key, do_sample: bool,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def prefill_cache(
+    model: Qwen2LM,
+    params,
+    input_embeds: jnp.ndarray,  # [B, S, hidden]
+    seq_lens: jnp.ndarray,  # [B] valid prompt lengths
+    cache,
+    *,
+    kv_quant: bool = False,
+    prefill_chunk: int = 0,
+):
+    """Prefill the KV cache; returns (cache, last-valid-position hidden
+    [B, hidden]). Shared by the greedy and speculative decode loops.
+
+    ``prefill_chunk`` > 0 runs ``chunk`` sequences at a time: big batches'
+    prefill transients (one MLP activation is [B*S, intermediate] — 1.6 GB
+    bf16 at batch 16 of a 2.8k prompt) dominate peak HBM, so each chunk runs
+    through a prompt-length (not cache_max_len) scratch cache and copies its
+    KV into its slice of the full cache. Math is row-independent, so this is
+    bit-identical to one pass. ``chunk`` need not divide ``b``: the last
+    chunk's start clamps to b-chunk (dynamic_slice semantics), recomputing a
+    few rows that then rewrite equal values."""
+    cfg: Qwen2Config = model.cfg
+    b, s, hid = input_embeds.shape
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    c = prefill_chunk if 0 < prefill_chunk < b else 0
+    if not c:
+        hidden, cache = model.apply(
+            {"params": params},
+            input_embeds,
+            positions,
+            seq_lens,
+            cache,
+            None,
+            "prefill",
+            method=Qwen2LM.backbone,
+        )
+        # hidden state at the last *valid* prompt position produced token 0
+        return cache, hidden[jnp.arange(b), seq_lens - 1]
+
+    def pbody(i, carry):
+        cache_f, lasts = carry
+        off = i * c
+        emb_c = jax.lax.dynamic_slice_in_dim(input_embeds, off, c, 0)
+        len_c = jax.lax.dynamic_slice_in_dim(seq_lens, off, c, 0)
+        hid_c, cache_c = model.apply(
+            {"params": params},
+            emb_c,
+            positions[:c],
+            len_c,
+            make_kv_cache(cfg, c, s, dtype=model.dtype, quant=kv_quant),
+            None,
+            "prefill",
+            method=Qwen2LM.backbone,
+        )
+        last_c = hid_c[jnp.arange(c), len_c - 1]
+        cache_f = jax.tree.map(
+            # chunk leaves are shorter in the S axis (s vs cache_max_len)
+            # — batch is axis 1, every other start is 0 for k/v/scales
+            lambda f, p: jax.lax.dynamic_update_slice(
+                f, p, (0, off) + (0,) * (p.ndim - 2)
+            ),
+            cache_f, cache_c,
+        )
+        lasts = jax.lax.dynamic_update_slice_in_dim(
+            lasts, last_c.astype(lasts.dtype), off, axis=0
+        )
+        return cache_f, lasts
+
+    return jax.lax.fori_loop(
+        0, -(-b // c), pbody,
+        (cache, jnp.zeros((b, hid), model.dtype)),
+    )
+
+
 @functools.partial(
     jax.jit,
     # temperature is a TRACED operand (a sweep over temperatures must not
@@ -118,67 +192,10 @@ def greedy_generate(
     cache = make_kv_cache(
         cfg, b, cache_max_len, dtype=model.dtype, quant=kv_quant
     )
-
-    # ---- prefill ----
-    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-    c = prefill_chunk if 0 < prefill_chunk < b else 0
-    if c:
-        # chunked prefill: big batches' prefill transients (one MLP
-        # activation is [B*S, intermediate] — 1.6 GB bf16 at batch 16 of a
-        # 2.8k prompt) dominate peak HBM; run ``c`` sequences at a time
-        # through a prompt-length (not cache_max_len) scratch cache and copy
-        # each chunk's KV into its slice of the full cache. Math is
-        # row-independent, so this is bit-identical to one pass. ``c`` need
-        # not divide ``b``: the last chunk's start clamps to b-c
-        # (dynamic_slice semantics), recomputing a few rows that then
-        # rewrite equal values.
-
-        def pbody(i, carry):
-            cache_f, lasts = carry
-            off = i * c
-            emb_c = jax.lax.dynamic_slice_in_dim(input_embeds, off, c, 0)
-            len_c = jax.lax.dynamic_slice_in_dim(seq_lens, off, c, 0)
-            hid_c, cache_c = model.apply(
-                {"params": params},
-                emb_c,
-                positions[:c],
-                len_c,
-                make_kv_cache(cfg, c, s, dtype=model.dtype, quant=kv_quant),
-                None,
-                "prefill",
-                method=Qwen2LM.backbone,
-            )
-            last_c = hid_c[jnp.arange(c), len_c - 1]
-            cache_f = jax.tree.map(
-                # chunk leaves are shorter in the S axis (s vs cache_max_len)
-                # — batch is axis 1, every other start is 0 for k/v/scales
-                lambda f, p: jax.lax.dynamic_update_slice(
-                    f, p, (0, off) + (0,) * (p.ndim - 2)
-                ),
-                cache_f, cache_c,
-            )
-            lasts = jax.lax.dynamic_update_slice_in_dim(
-                lasts, last_c.astype(lasts.dtype), off, axis=0
-            )
-            return cache_f, lasts
-
-        cache, last_hidden = jax.lax.fori_loop(
-            0, -(-b // c), pbody,
-            (cache, jnp.zeros((b, hid), model.dtype)),
-        )
-    else:
-        hidden, cache = model.apply(
-            {"params": params},
-            input_embeds,
-            positions,
-            seq_lens,
-            cache,
-            None,
-            "prefill",
-            method=Qwen2LM.backbone,
-        )
-        # hidden state at the last *valid* prompt position produced token 0
-        last_hidden = hidden[jnp.arange(b), seq_lens - 1]  # [B, hidden]
+    cache, last_hidden = prefill_cache(
+        model, params, input_embeds, seq_lens, cache,
+        kv_quant=kv_quant, prefill_chunk=prefill_chunk,
+    )
 
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -7,10 +7,12 @@ layer-stacked params), an explicit padded KV cache threaded through scan as
 per-layer xs/ys, Pallas flash attention for prefill, and a fused XLA masked
 softmax for single-token decode.
 
-Three modes share one code path:
+Four modes share one code path:
   - ``train``   : full causal forward, no cache.
   - ``prefill`` : causal forward that also writes k/v into the cache.
   - ``decode``  : single-token step against the cache.
+  - ``verify``  : multi-token speculative-verification step against the
+    cache with a ragged per-row causal mask (models/speculative.py).
 
 The vocab is physically padded to a 256 multiple for MXU-friendly lm_head
 matmuls; logits for padding ids are masked at sampling time.
@@ -284,6 +286,63 @@ class Qwen2DecoderLayer(nn.Module):
                     (0, 0, 0, 0),
                 )
             o = attention(q, k, v, causal=True, kv_lens=seq_lens)
+        elif mode == "verify":
+            # multi-token speculative verification step (models/speculative.py):
+            # write the s drafted tokens' k/v at per-sequence positions
+            # cache_len + i, then attend with a per-row ragged causal mask —
+            # q row i sees cache positions < cache_len + i + 1, exactly the
+            # context sequential decode would have. Rejected drafts leave
+            # stale cache entries past the accepted prefix; they sit beyond
+            # the advanced cache_len, are never attended, and are
+            # overwritten by later steps.
+            bidx = jnp.arange(b)[:, None, None]
+            hidx = jnp.arange(cfg.num_kv_heads)[None, :, None]
+            pidx = cache_len[:, None, None] + jnp.arange(s)[None, None, :]
+            kt = k.transpose(0, 2, 1, 3)  # [B, Hkv, s, D]
+            vt = v.transpose(0, 2, 1, 3)
+            new_cache = dict(cache_layer)
+            if "k_scale" in cache_layer:  # int8 KV cache
+                kq, ks = quantize_kv(kt)
+                vq, vs = quantize_kv(vt)
+                new_cache["k"] = cache_layer["k"].at[bidx, hidx, pidx].set(kq)
+                new_cache["v"] = cache_layer["v"].at[bidx, hidx, pidx].set(vq)
+                new_cache["k_scale"] = (
+                    cache_layer["k_scale"].at[bidx, hidx, pidx].set(ks)
+                )
+                new_cache["v_scale"] = (
+                    cache_layer["v_scale"].at[bidx, hidx, pidx].set(vs)
+                )
+                kc = (
+                    new_cache["k"].astype(jnp.float32)
+                    * new_cache["k_scale"][..., None]
+                ).astype(self.dtype)
+                vc = (
+                    new_cache["v"].astype(jnp.float32)
+                    * new_cache["v_scale"][..., None]
+                ).astype(self.dtype)
+            else:
+                new_cache["k"] = cache_layer["k"].at[bidx, hidx, pidx].set(
+                    kt.astype(cache_layer["k"].dtype)
+                )
+                new_cache["v"] = cache_layer["v"].at[bidx, hidx, pidx].set(
+                    vt.astype(cache_layer["v"].dtype)
+                )
+                kc, vc = new_cache["k"], new_cache["v"]
+            smax = kc.shape[2]
+            # [B, s, Smax] ragged causal mask (the s×Smax score block is tiny
+            # — s ≤ ~9 — so the XLA mask path costs nothing next to the
+            # weight reads this step amortizes)
+            vmask = (
+                jnp.arange(smax)[None, None, :]
+                <= (cache_len[:, None] + jnp.arange(s)[None, :])[..., None]
+            )
+            o = attention(
+                q,
+                kc.transpose(0, 2, 1, 3),  # [B, Smax, Hkv, D]
+                vc.transpose(0, 2, 1, 3),
+                mask=vmask,
+                impl="xla",
+            )
         elif mode == "decode":
             # write this step's k/v at per-sequence position cache_len
             bidx = jnp.arange(b)[:, None]

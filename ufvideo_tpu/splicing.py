@@ -129,6 +129,17 @@ def plan_splice(
     )
 
 
+def plan_lookup_ids(plan: "SplicePlan") -> np.ndarray:
+    """[B, S] token ids aligned to SPLICED positions: the original text id at
+    text positions, -1 at video/region/pad slots. Feed for prompt-lookup
+    speculative drafting (models/speculative.py) — generation context
+    positions are spliced positions, so n-gram matches must be taken in this
+    coordinate system."""
+    ti = np.clip(plan.src_idx, 0, plan.text_ids.shape[1] - 1)
+    ids = np.take_along_axis(plan.text_ids, ti, axis=1)
+    return np.where(plan.src_kind == KIND_TEXT, ids, -1).astype(np.int32)
+
+
 def apply_splice(
     text_embeds,  # [B, T, D]
     video_feats,  # [B, V, D] or None
