@@ -204,6 +204,86 @@ def test_http_round_trip(stub, monkeypatch):
             server.server_close()
 
 
+def _stub_stream(deltas, fail_after=None):
+    def fake(video, instruct, model, tokenizer, modal="video", choice=1,
+             masks=None, ann_indices=None, frame=None, chunk=16, **kw):
+        for i, d in enumerate(deltas):
+            if fail_after is not None and i == fail_after:
+                raise RuntimeError("stream blew up")
+            yield d
+    return fake
+
+
+def test_submit_stream_yields_deltas(stub, monkeypatch):
+    monkeypatch.setattr(serve_mod, "mm_infer_stream",
+                        _stub_stream(["Hello ", "world"]))
+    with _sched() as s:
+        fut = s.submit_stream(_sample("q"), max_new_tokens=8, chunk=4)
+        assert list(fut) == ["Hello ", "world"]
+        # a plain request still round-trips alongside streams
+        plain = s.submit(_sample("p"), max_new_tokens=8)
+        assert plain.result(timeout=10)[0] == "echo:p:mnt8"
+    st = s.stats()
+    assert st["streamed"] == 1 and st["requests"] == 2
+
+
+def test_stream_error_raises_at_consumer(stub, monkeypatch):
+    monkeypatch.setattr(serve_mod, "mm_infer_stream",
+                        _stub_stream(["a", "b"], fail_after=1))
+    with _sched() as s:
+        fut = s.submit_stream(_sample("q"))
+        got = []
+        with pytest.raises(RuntimeError, match="blew up"):
+            for d in fut:
+                got.append(d)
+        assert got == ["a"]
+    assert s.stats()["errors"] == 1
+
+
+def test_http_streaming(stub, monkeypatch):
+    monkeypatch.setattr(serve_mod, "mm_infer_stream",
+                        _stub_stream(["He", "llo"]))
+
+    class _Cfg:
+        class budget:
+            num_frames = 4
+
+        class vision:
+            image_size = 8
+
+    class _Model:
+        cfg = _Cfg()
+
+    with _sched() as s:
+        s.model = _Model()
+        server = serve_http(s, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            body = {
+                "instruct": "hi",
+                "video_b64": np_to_b64(np.zeros((4, 8, 8, 3), np.float32)),
+                "stream": True, "chunk": 2,
+            }
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/generate",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.headers["Content-Type"] == "text/event-stream"
+                events = [
+                    json.loads(line[len(b"data: "):])
+                    for line in r.read().split(b"\n\n")
+                    if line.startswith(b"data: ")
+                ]
+            assert events[:-1] == [{"delta": "He"}, {"delta": "llo"}]
+            assert events[-1] == {"done": True}
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
 def test_mask_rle_round_trips_through_encoding():
     from ufvideo_tpu import rle
     from ufvideo_tpu.serve import _encode_result

@@ -250,6 +250,70 @@ class UFVideoRuntime:
             out.append((np.asarray(res.tokens[i, :n]).tolist(), res.hidden[i, :n]))
         return out, plan
 
+    def generate_stream(
+        self,
+        input_ids: List[int],
+        video_feats: Optional[jnp.ndarray],
+        region_feats: Optional[jnp.ndarray] = None,
+        region_token_counts: Optional[List[int]] = None,
+        max_new_tokens: int = 128,
+        chunk: int = 16,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ):
+        """Streaming decode for ONE sample: yields ``(ids_chunk, hiddens
+        [n, hidden])`` per dispatch (first yield after prefill). Token-
+        identical to ``generate`` under the same sampling state; the decode
+        runs in ``chunk``-step dispatches instead of one fused loop (see
+        models/generate.stream_generate)."""
+        cfg = self.cfg
+        from .models.generate import stream_generate
+
+        plan = plan_splice(
+            [list(input_ids)],
+            num_video_tokens=(
+                video_feats.shape[1] if video_feats is not None else 0
+            ),
+            region_token_counts=[region_token_counts or []],
+            region_token_id=self.ids.region,
+            max_seq_len=cfg.budget.max_seq_len,
+            region_stride=cfg.region.region_token_num,
+        )
+        embeds = self._splice(
+            self.params,
+            jnp.asarray(plan.text_ids),
+            jnp.asarray(plan.src_kind),
+            jnp.asarray(plan.src_idx),
+            video_feats,
+            region_feats,
+        )
+        real_len = int(max(plan.seq_lens))
+        trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
+        for tokens, n, hiddens, done in stream_generate(
+            self.model.llm,
+            self.params["llm"],
+            embeds[:, :trim],
+            jnp.asarray(plan.seq_lens),
+            max_new_tokens=max_new_tokens,
+            stop_ids=(self.ids.eos,),
+            cache_max_len=trim + max_new_tokens,
+            chunk=chunk,
+            vocab_size=cfg.llm.vocab_size,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+            rng=jax.random.PRNGKey(seed),
+            kv_quant=bool(cfg.quant_kv),
+            prefill_chunk=cfg.prefill_chunk,
+        ):
+            k = int(n[0])
+            if k:
+                yield np.asarray(tokens[0, :k]).tolist(), hiddens[0, :k]
+            if bool(done[0]):
+                return
+
     def forward_hidden_states(self, plan, video_feats, region_feats=None):
         embeds = self._splice(
             self.params,
@@ -426,6 +490,28 @@ def _assemble_input_ids(instruct, choice, modal_token, tokenizer):
     return tokenizer_multimodal_token(prompt, tokenizer, modal_token)
 
 
+def _encode_video_input(model: UFVideoRuntime, image_or_video, modal: str):
+    """Vision encode for one sample (uint8 input → fused on-device
+    resize+normalize, 4x less host→device traffic); image modal broadcasts
+    the single frame across the frame budget."""
+    if modal == "text":
+        return None
+    cfg = model.cfg
+    pixels = np.asarray(image_or_video)
+    if pixels.dtype == np.uint8:
+        from .ops.image_pipeline import siglip_preprocess_device
+
+        pixels = siglip_preprocess_device(
+            jnp.asarray(pixels), out_dtype=cfg.compute_dtype
+        )
+    if modal == "image":
+        pixels = jnp.broadcast_to(
+            jnp.asarray(pixels)[:1],
+            (cfg.budget.num_frames,) + pixels.shape[1:],
+        )
+    return model.encode_video(jnp.asarray(pixels)[None])
+
+
 def mm_infer(
     image_or_video,
     instruct,
@@ -453,23 +539,7 @@ def mm_infer(
         instruct, choice, modal_token, tokenizer
     )
 
-    # 2. vision encode (uint8 input → fused on-device resize+normalize,
-    # 4x less host→device traffic)
-    video_feats = None
-    if modal != "text":
-        pixels = np.asarray(image_or_video)
-        if pixels.dtype == np.uint8:
-            from .ops.image_pipeline import siglip_preprocess_device
-
-            pixels = siglip_preprocess_device(
-                jnp.asarray(pixels), out_dtype=cfg.compute_dtype
-            )
-        if modal == "image":
-            pixels = jnp.broadcast_to(
-                jnp.asarray(pixels)[:1],
-                (cfg.budget.num_frames,) + pixels.shape[1:],
-            )
-        video_feats = model.encode_video(jnp.asarray(pixels)[None])
+    video_feats = _encode_video_input(model, image_or_video, modal)
 
     # 3. region tokens
     region_feats, region_counts = None, None
@@ -570,6 +640,91 @@ def mm_infer(
         m = model.segment_video(np.asarray(images_sam), embeds, h, w)
         pred_masks = [m[i] for i in range(m.shape[0])]
     return {"output": None, "pred_masks": pred_masks, "gt_masks": masks}
+
+
+def mm_infer_stream(
+    image_or_video,
+    instruct,
+    model: UFVideoRuntime,
+    tokenizer,
+    modal: str = "video",
+    masks=None,
+    ann_indices=None,
+    frame=None,
+    choice: int = 1,
+    chunk: int = 16,
+    **kwargs,
+):
+    """Streaming QA inference: yields TEXT DELTAS as decode chunks complete
+    (``"".join(deltas).strip()`` equals ``mm_infer``'s text under the same
+    sampling state). Beyond-reference serving surface — the reference's
+    mm_infer only returns complete outputs.
+
+    Path A only: an input ``[SEG]`` (seg-style eval) needs the complete
+    hidden-state pass — use ``mm_infer``. ``stop_strings`` are honored
+    host-side between chunks (generation stops at most one chunk after the
+    keyword appears; the emitted text is trimmed exactly)."""
+    cfg = model.cfg
+    modal_token = {
+        "image": DEFAULT_IMAGE_TOKEN, "video": DEFAULT_VIDEO_TOKEN, "text": ""
+    }[modal]
+    input_ids = _assemble_input_ids(instruct, choice, modal_token, tokenizer)
+    if model.ids.seg in input_ids:
+        raise ValueError(
+            "streaming covers QA generation only; [SEG] inputs need the "
+            "full-pass mm_infer"
+        )
+    video_feats = _encode_video_input(model, image_or_video, modal)
+    region_feats, region_counts = None, None
+    if frame is not None and masks is not None:
+        region_feats, region_counts = model.pack_and_encode_regions(
+            np.asarray(frame), np.asarray(masks), ann_indices
+        )
+
+    do_sample = bool(kwargs.get("do_sample", False))
+    temperature = kwargs.get("temperature")
+    temperature = (
+        float(0.2 if temperature is None else temperature)
+        if do_sample else 1.0
+    )
+    stop_strings = list(kwargs.get("stop_strings") or [])
+
+    ids_acc: List[int] = []
+    text_prev = ""
+    for ids_chunk, _hid in model.generate_stream(
+        input_ids, video_feats, region_feats, region_counts,
+        max_new_tokens=int(kwargs.get("max_new_tokens", 1024)),
+        chunk=chunk,
+        do_sample=do_sample,
+        temperature=temperature,
+        top_p=float(kwargs.get("top_p", 0.9)),
+        seed=int(kwargs.get("seed", 0)),
+    ):
+        ids_acc.extend(ids_chunk)
+        text = tokenizer.decode(ids_acc, skip_special_tokens=True)
+        stopped = stop_strings and any(s in text for s in stop_strings)
+        if stopped:
+            text = trim_at_stop_strings(text, stop_strings)
+        if text.startswith(text_prev):
+            delta = text[len(text_prev):]
+            if delta:
+                yield delta
+            text_prev = text
+        # else: a partial UTF-8/BPE boundary made decode regress — hold the
+        # delta until the next chunk resolves it (final flush below)
+        if stopped:
+            return
+    if not text_prev:
+        return
+    # final flush for a held partial-boundary tail
+    text = tokenizer.decode(ids_acc, skip_special_tokens=True)
+    if text != text_prev:
+        common = 0
+        for a, b in zip(text_prev, text):
+            if a != b:
+                break
+            common += 1
+        yield text[common:]
 
 
 def mm_infer_batch(

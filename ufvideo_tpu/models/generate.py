@@ -277,6 +277,201 @@ def greedy_generate(
     return GenerateResult(tokens=tokens, gen_lens=gen_lens, hidden=hiddens)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "cache_max_len", "vocab_size", "do_sample", "top_p",
+        "kv_quant", "prefill_chunk",
+    ),
+)
+def prefill_start(
+    model: Qwen2LM,
+    params,
+    input_embeds: jnp.ndarray,  # [B, S, hidden]
+    seq_lens: jnp.ndarray,  # [B]
+    *,
+    cache_max_len: int,
+    vocab_size: int | None = None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    rng: jnp.ndarray | None = None,
+    kv_quant: bool = False,
+    prefill_chunk: int = 0,
+):
+    """Streaming front half: prefill + first token. Returns
+    ``(cache, t0 [B], last_hidden [B, hidden], rng)`` — feed into
+    :func:`decode_chunk` with ``cache_len = seq_lens``, ``cur = t0``.
+
+    The fused ``greedy_generate`` stays the throughput path (one dispatch
+    for the whole loop); this split exists for streaming serving, where
+    tokens must surface every ``chunk`` steps — on this runtime an extra
+    dispatch costs ~1.7 ms, so chunked decode trades a few ms per reply for
+    incremental output and earlier host-side stop decisions."""
+    cfg: Qwen2Config = model.cfg
+    b, s, _ = input_embeds.shape
+    vocab_size = vocab_size or cfg.vocab_size
+    cache_max_len = -(-cache_max_len // 128) * 128
+    cache = make_kv_cache(
+        cfg, b, cache_max_len, dtype=model.dtype, quant=kv_quant
+    )
+    cache, last_hidden = prefill_cache(
+        model, params, input_embeds, seq_lens, cache,
+        kv_quant=kv_quant, prefill_chunk=prefill_chunk,
+    )
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng, k0 = jax.random.split(rng)
+    logits = model.apply(
+        {"params": params}, last_hidden[:, None], method=Qwen2LM.logits
+    )
+    logits = _mask_vocab_logits(logits[:, 0].astype(jnp.float32), vocab_size)
+    t0 = _sample_token(logits, k0, do_sample, temperature, top_p)
+    return cache, t0, last_hidden, rng
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "chunk", "stop_ids", "vocab_size", "do_sample", "top_p",
+    ),
+    donate_argnames=("cache",),  # the caller's old cache is dead state
+)
+def decode_chunk(
+    model: Qwen2LM,
+    params,
+    cache,
+    cache_len: jnp.ndarray,  # [B] next write position (incl. cur's slot)
+    cur: jnp.ndarray,  # [B] last emitted token (its KV not yet written)
+    done: jnp.ndarray,  # [B] bool
+    *,
+    chunk: int,
+    stop_ids,
+    vocab_size: int | None = None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    rng: jnp.ndarray | None = None,
+):
+    """Streaming continuation: up to ``chunk`` decode steps from arbitrary
+    loop state. Returns ``(tokens [B, chunk], n_emitted [B], hiddens
+    [B, chunk, hidden], cache, cache_len, cur, done, rng)``. Token-identical
+    to the fused loop at any chunking (tests/test_streaming.py); single-token
+    ``stop_ids`` only — multi-token keyword stops are a host-side decision
+    between chunks in the streaming path (the host sees decoded text and a
+    late stop costs at most one chunk of wasted compute)."""
+    cfg: Qwen2Config = model.cfg
+    b = cur.shape[0]
+    vocab_size = vocab_size or cfg.vocab_size
+    stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def sample(h, key):
+        logits = model.apply(
+            {"params": params}, h[:, None], method=Qwen2LM.logits
+        )
+        logits = _mask_vocab_logits(logits[:, 0].astype(jnp.float32), vocab_size)
+        return _sample_token(logits, key, do_sample, temperature, top_p)
+
+    tokens = jnp.zeros((b, chunk), jnp.int32)
+    hiddens = jnp.zeros((b, chunk, cfg.hidden_size), model.dtype)
+    n = jnp.zeros((b,), jnp.int32)
+
+    def cond(state):
+        step, _, _, _, _, _, done, _, _ = state
+        return jnp.logical_and(step < chunk, ~jnp.all(done))
+
+    def body(state):
+        step, tokens, hiddens, cache, cache_len, cur, done, n, key = state
+        key, sub = jax.random.split(key)
+        emb = model.apply(
+            {"params": params}, cur[:, None], method=Qwen2LM.embed
+        )
+        h, cache = model.apply(
+            {"params": params},
+            emb,
+            cache_len[:, None],
+            None,
+            cache,
+            cache_len,
+            "decode",
+            method=Qwen2LM.backbone,
+        )
+        h = h[:, 0]
+        nxt = sample(h, sub)
+        tokens = tokens.at[:, step].set(jnp.where(done, tokens[:, step], nxt))
+        hiddens = hiddens.at[:, step].set(
+            jnp.where(done[:, None], hiddens[:, step], h.astype(model.dtype))
+        )
+        now_done = jnp.logical_or(done, jnp.isin(nxt, stop_arr))
+        n = jnp.where(done, n, step + 1)
+        cache_len = jnp.where(done, cache_len, cache_len + 1)
+        cur = jnp.where(done, cur, nxt)
+        return step + 1, tokens, hiddens, cache, cache_len, cur, now_done, n, key
+
+    state = (
+        jnp.asarray(0, jnp.int32), tokens, hiddens, cache, cache_len, cur,
+        done, n, rng,
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    _, tokens, hiddens, cache, cache_len, cur, done, n, rng = state
+    return tokens, n, hiddens, cache, cache_len, cur, done, rng
+
+
+def stream_generate(
+    model: Qwen2LM,
+    params,
+    input_embeds: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    stop_ids,
+    cache_max_len: int,
+    chunk: int = 16,
+    vocab_size: int | None = None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    rng: jnp.ndarray | None = None,
+    kv_quant: bool = False,
+    prefill_chunk: int = 0,
+):
+    """Host generator over chunked decode: each dispatch yields
+    ``(token_ids [B, c], n_valid [B], hiddens [B, c, hidden], done [B])`` —
+    row b's valid tokens are ``token_ids[b, :n_valid[b]]`` (the first yield
+    is the prefill's token). Token-identical to ``greedy_generate`` under
+    the same sampling state (the per-body rng split order matches); see
+    :func:`decode_chunk` for the stop contract."""
+    stop_ids = tuple(stop_ids)
+    stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
+    b = input_embeds.shape[0]
+    cache, t0, last_hidden, rng = prefill_start(
+        model, params, input_embeds, seq_lens,
+        cache_max_len=cache_max_len, vocab_size=vocab_size,
+        do_sample=do_sample, temperature=temperature, top_p=top_p, rng=rng,
+        kv_quant=kv_quant, prefill_chunk=prefill_chunk,
+    )
+    done = jnp.isin(t0, stop_arr)
+    yield (
+        t0[:, None], jnp.ones((b,), jnp.int32),
+        last_hidden[:, None].astype(model.dtype), done,
+    )
+    cache_len = seq_lens
+    cur = t0
+    emitted = 1
+    while emitted < max_new_tokens and not bool(jnp.all(done)):
+        step = min(chunk, max_new_tokens - emitted)
+        tokens, n, hiddens, cache, cache_len, cur, done, rng = decode_chunk(
+            model, params, cache, cache_len, cur, done,
+            chunk=step, stop_ids=stop_ids, vocab_size=vocab_size,
+            do_sample=do_sample, temperature=temperature, top_p=top_p,
+            rng=rng,
+        )
+        emitted += step
+        yield tokens, n, hiddens, done
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def forward_hidden(
     model: Qwen2LM, params, input_embeds: jnp.ndarray, seq_lens: jnp.ndarray

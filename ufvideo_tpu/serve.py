@@ -40,12 +40,15 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import queue as queue_mod
+
 from . import rle
-from .api import mm_infer_batch
+from .api import mm_infer_batch, mm_infer_stream
 
 __all__ = [
     "BatchingScheduler",
     "ServeFuture",
+    "StreamFuture",
     "serve_http",
 ]
 
@@ -77,13 +80,42 @@ class ServeFuture:
         return self._result
 
 
+class StreamFuture:
+    """Iterator over one streaming request's text deltas. The scheduler
+    worker pushes deltas as decode chunks complete; iterating blocks until
+    the next delta or completion (raising the producer's error, if any)."""
+
+    _DONE = object()
+
+    def __init__(self) -> None:
+        self._q: "queue_mod.Queue" = queue_mod.Queue()
+        self._error: Optional[BaseException] = None
+
+    def push(self, delta: str) -> None:
+        self._q.put(delta)
+
+    def finish(self, error: Optional[BaseException] = None) -> None:
+        self._error = error
+        self._q.put(self._DONE)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item
+
+
 @dataclass
 class _Request:
     sample: Dict[str, Any]
     modal: str
     choice: int
     gen: Dict[str, Any]
-    future: ServeFuture
+    future: Any  # ServeFuture | StreamFuture
+    stream: bool = False
     t_enqueue: float = field(default_factory=time.perf_counter)
 
 
@@ -98,6 +130,10 @@ def _batch_key(req: _Request) -> Tuple:
     - the seed only matters under sampling (greedy ignores it), so greedy
       requests with different seeds still share a batch.
     """
+    if req.stream:
+        # streaming requests never share a dispatch: their tokens surface
+        # per chunk, which has no batched counterpart yet
+        return ("stream", id(req))
     g = req.gen
     video = req.sample.get("video")
     sam = req.sample.get("images_sam")
@@ -148,6 +184,7 @@ class BatchingScheduler:
             "batches": 0,
             "batched_samples": 0,
             "fallback_samples": 0,
+            "streamed": 0,
             "errors": 0,
         }
         self._worker = threading.Thread(
@@ -172,6 +209,31 @@ class BatchingScheduler:
         """
         fut = ServeFuture()
         req = _Request(dict(sample), modal, int(choice), dict(gen_kwargs), fut)
+        with self._wake:
+            if self._closing:
+                raise RuntimeError("scheduler is closed")
+            if len(self._pending) >= self.max_queue:
+                raise RuntimeError(
+                    f"queue full ({self.max_queue} pending requests)"
+                )
+            self._pending.append(req)
+            self._wake.notify()
+        return fut
+
+    def submit_stream(
+        self,
+        sample: Dict[str, Any],
+        modal: str = "video",
+        choice: int = 1,
+        **gen_kwargs,
+    ) -> StreamFuture:
+        """Enqueue a streaming request (QA path only — see
+        ``api.mm_infer_stream``). Returns an iterator over text deltas."""
+        fut = StreamFuture()
+        req = _Request(
+            dict(sample), modal, int(choice), dict(gen_kwargs), fut,
+            stream=True,
+        )
         with self._wake:
             if self._closing:
                 raise RuntimeError("scheduler is closed")
@@ -264,6 +326,29 @@ class BatchingScheduler:
 
     def _dispatch(self, reqs: List[_Request]) -> None:
         head = reqs[0]
+        if head.stream:
+            assert len(reqs) == 1  # unique batch key per stream
+            s = head.sample
+            gen = dict(head.gen)
+            chunk = int(gen.pop("chunk", 16))
+            try:
+                for delta in mm_infer_stream(
+                    s.get("video"), s["instruct"], self.model, self.tokenizer,
+                    modal=head.modal, choice=head.choice,
+                    masks=s.get("masks"), ann_indices=s.get("ann_indices"),
+                    frame=s.get("frame"), chunk=chunk, **gen,
+                ):
+                    head.future.push(delta)
+                with self.stats_lock:
+                    self._stats["requests"] += 1
+                    self._stats["streamed"] += 1
+                head.future.finish()
+            except Exception as e:  # noqa: BLE001 — delivered to consumer
+                with self.stats_lock:
+                    self._stats["requests"] += 1
+                    self._stats["errors"] += 1
+                head.future.finish(e)
+            return
         try:
             results = mm_infer_batch(
                 [r.sample for r in reqs], self.model, self.tokenizer,
@@ -425,6 +510,40 @@ def serve_http(
                     )
                     if k in body
                 }
+                if body.get("stream"):
+                    # server-sent-events-style stream of text deltas; the
+                    # response is close-delimited (no Content-Length)
+                    if "chunk" in body:
+                        gen["chunk"] = int(body["chunk"])
+                    sfut = scheduler.submit_stream(
+                        sample, modal=modal, choice=choice, **gen
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    try:
+                        for delta in sfut:
+                            self.wfile.write(
+                                b"data: "
+                                + json.dumps({"delta": delta}).encode()
+                                + b"\n\n"
+                            )
+                            self.wfile.flush()
+                        self.wfile.write(
+                            b'data: {"done": true}\n\n'
+                        )
+                    except Exception as e:  # mid-stream error
+                        self.wfile.write(
+                            b"data: "
+                            + json.dumps(
+                                {"error": f"{type(e).__name__}: {e}"}
+                            ).encode()
+                            + b"\n\n"
+                        )
+                    self.wfile.flush()
+                    return
                 fut = scheduler.submit(
                     sample, modal=modal, choice=choice, **gen
                 )
