@@ -144,6 +144,36 @@ def test_spec_accepts_drafts_on_degenerate_model():
     assert int(sp.n_accepted[0]) >= max_new - int(sp.n_iters)
 
 
+def test_spec_stream_matches_spec_and_greedy():
+    """The per-iteration streaming path emits the same token stream as the
+    fused spec loop (and therefore plain greedy)."""
+    from ufvideo_tpu.models.speculative import spec_stream_generate
+
+    cfg = _tiny_cfg()
+    model, params = _model_and_params(cfg, seed=21)
+    ids = _prompt(cfg, b=2, s=24, seed=23)
+    lens = jnp.asarray([24, 24], jnp.int32)
+    embeds = model.apply({"params": params}, ids, method=Qwen2LM.embed)
+    kw = dict(max_new_tokens=18, stop_ids=(-1,),
+              cache_max_len=24 + 18 + 4, draft_k=4)
+    sp = spec_generate(model, params, embeds, lens, ids, **kw)
+    rows = [[] for _ in range(2)]
+    dispatches = 0
+    for tokens, gen_lens, _hid, _done in spec_stream_generate(
+        model, params, embeds, lens, ids, **kw
+    ):
+        dispatches += 1
+        for i in range(2):
+            n = int(gen_lens[i])
+            rows[i] = np.asarray(tokens[i, :n]).tolist()
+    for i in range(2):
+        n = int(sp.gen_lens[i])
+        assert rows[i] == np.asarray(sp.tokens[i, :n]).tolist(), i
+    # one yield after prefill + one per verify iteration == n_iters (which
+    # counts the prefill as forward #1)
+    assert dispatches == int(sp.n_iters)
+
+
 @pytest.mark.slow
 def test_api_spec_decode_matches_plain():
     """cfg.spec_decode wires through mm_infer (multimodal splice included)

@@ -115,3 +115,10 @@ def test_mm_infer_stream_matches_mm_infer():
     ))
     assert "".join(deltas).strip() == text
     assert len(deltas) >= 2  # actually incremental
+
+    # spec_decode composes with streaming: same text again
+    smodel, _, stok = model_init(None, cfg=tiny_config().replace(spec_decode=3))
+    sdeltas = list(mm_infer_stream(
+        video, "What happens?", smodel, stok, max_new_tokens=8, chunk=3
+    ))
+    assert "".join(sdeltas).strip() == text

@@ -291,6 +291,38 @@ class UFVideoRuntime:
         )
         real_len = int(max(plan.seq_lens))
         trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
+        spec_k = int(cfg.spec_decode or 0)
+        if spec_k and not do_sample:
+            # speculation and streaming compose: each dispatch is one
+            # draft→verify iteration surfacing 1..K+1 tokens
+            from .models.speculative import spec_stream_generate
+            from .splicing import plan_lookup_ids
+
+            prev = 0
+            for tokens, gen_lens, hiddens, done in spec_stream_generate(
+                self.model.llm,
+                self.params["llm"],
+                embeds[:, :trim],
+                jnp.asarray(plan.seq_lens),
+                jnp.asarray(plan_lookup_ids(plan)[:, :trim]),
+                max_new_tokens=max_new_tokens,
+                stop_ids=(self.ids.eos,),
+                cache_max_len=trim + max_new_tokens + spec_k,
+                draft_k=spec_k,
+                vocab_size=cfg.llm.vocab_size,
+                kv_quant=bool(cfg.quant_kv),
+                prefill_chunk=cfg.prefill_chunk,
+            ):
+                n = int(gen_lens[0])
+                if n > prev:
+                    yield (
+                        np.asarray(tokens[0, prev:n]).tolist(),
+                        hiddens[0, prev:n],
+                    )
+                    prev = n
+                if bool(done[0]):
+                    return
+            return
         for tokens, n, hiddens, done in stream_generate(
             self.model.llm,
             self.params["llm"],

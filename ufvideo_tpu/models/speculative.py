@@ -27,7 +27,10 @@ The whole loop is one jitted ``lax.while_loop``; each iteration embeds
 (k/v written at ragged per-sequence positions), accepts the matching prefix
 plus the model's own next token, and advances per-sequence write positions.
 Rejected drafts' stale cache rows sit beyond the advanced ``cache_len`` and
-are overwritten by later steps.
+are overwritten by later steps. ``spec_stream_generate`` runs the SAME
+iteration as one jitted dispatch per draft→verify round, so speculation and
+streaming compose (api.generate_stream picks it when ``cfg.spec_decode`` is
+set).
 """
 
 from __future__ import annotations
@@ -94,8 +97,50 @@ def spec_generate(
         cache_max_len, s, max_new_tokens, k
     )
     cache_max_len = -(-cache_max_len // 128) * 128  # full 128-position tiles
-    stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
 
+    state = _spec_init(
+        model, params, input_embeds, seq_lens, prompt_ids,
+        cache_max_len=cache_max_len, max_new_tokens=max_new_tokens,
+        stop_ids=stop_ids, vocab_size=vocab_size, kv_quant=kv_quant,
+        prefill_chunk=prefill_chunk,
+    )
+
+    def cond(state):
+        it, _, _, _, _, _, done, _, _, _, _ = state
+        return jnp.logical_and(it < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        return _spec_body(
+            model, params, state, k=k, stop_ids=stop_ids,
+            vocab_size=vocab_size, max_new_tokens=max_new_tokens,
+            prompt_len=s,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    (it, tokens, hiddens, _, _, _, _, gen_lens, _, n_drafted,
+     n_accepted) = state
+    return SpecResult(
+        tokens=tokens, gen_lens=gen_lens, hidden=hiddens, n_iters=it,
+        n_drafted=n_drafted, n_accepted=n_accepted,
+    )
+
+
+def _argmax_tokens(model, params, h, vocab_size):  # [B, T, hidden] -> [B, T]
+    logits = model.apply({"params": params}, h, method=Qwen2LM.logits)
+    logits = _mask_vocab_logits(logits.astype(jnp.float32), vocab_size)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def _spec_init(
+    model, params, input_embeds, seq_lens, prompt_ids, *,
+    cache_max_len, max_new_tokens, stop_ids, vocab_size, kv_quant,
+    prefill_chunk,
+):
+    """Prefill + first token + loop-state construction (shared by the fused
+    loop and the streaming per-iteration path)."""
+    cfg: Qwen2Config = model.cfg
+    b, s, hid = input_embeds.shape
+    stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
     cache = make_kv_cache(
         cfg, b, cache_max_len, dtype=model.dtype, quant=kv_quant
     )
@@ -103,13 +148,7 @@ def spec_generate(
         model, params, input_embeds, seq_lens, cache,
         kv_quant=kv_quant, prefill_chunk=prefill_chunk,
     )
-
-    def argmax_tokens(h):  # [B, T, hidden] -> [B, T]
-        logits = model.apply({"params": params}, h, method=Qwen2LM.logits)
-        logits = _mask_vocab_logits(logits.astype(jnp.float32), vocab_size)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-    t0 = argmax_tokens(last_hidden[:, None])[:, 0]
+    t0 = _argmax_tokens(model, params, last_hidden[:, None], vocab_size)[:, 0]
 
     # token history for n-gram lookup: [prompt text ids | generated], the
     # generated region at the static offset S (prompt pad slots between a
@@ -132,7 +171,24 @@ def spec_generate(
     tokens = tokens.at[:, 0].set(t0)
     hiddens = hiddens.at[:, 0].set(last_hidden.astype(model.dtype))
     done0 = jnp.isin(t0, stop_arr)
-    gen0 = jnp.ones((b,), jnp.int32)
+    return (
+        jnp.asarray(1, jnp.int32), tokens, hiddens, cache, seq_lens, t0,
+        done0, jnp.ones((b,), jnp.int32), hist, jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    )
+
+
+def _spec_body(
+    model, params, state, *, k, stop_ids, vocab_size, max_new_tokens,
+    prompt_len,
+):
+    """One draft→verify→accept iteration over the 11-tuple loop state."""
+    s = prompt_len
+    stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
+    (it, tokens, hiddens, cache, cache_len, cur, done, gen_lens, hist,
+     n_drafted, n_accepted) = state
+    b = cur.shape[0]
+    lh = hist.shape[1]
     bidx = jnp.arange(b)[:, None]
     kidx = jnp.arange(k + 1)[None, :]
 
@@ -162,79 +218,124 @@ def spec_generate(
         # (the forward runs anyway) and right for runs of repeated tokens
         return jnp.where(any_m[:, None], d, t1)
 
-    def cond(state):
-        it, _, _, _, _, _, done, _, _, _, _ = state
-        return jnp.logical_and(it < max_new_tokens, ~jnp.all(done))
-
-    def body(state):
-        (it, tokens, hiddens, cache, cache_len, cur, done, gen_lens, hist,
-         n_drafted, n_accepted) = state
-        end = s + gen_lens
-        draft = draft_tokens(hist, end)  # [B, K]
-        block = jnp.concatenate([cur[:, None], draft], axis=1)  # [B, K+1]
-        emb = model.apply(
-            {"params": params}, jnp.maximum(block, 0), method=Qwen2LM.embed
-        )
-        positions = cache_len[:, None] + kidx
-        h, cache = model.apply(
-            {"params": params},
-            emb,
-            positions,
-            None,
-            cache,
-            cache_len,
-            "verify",
-            method=Qwen2LM.backbone,
-        )
-        preds = argmax_tokens(h)  # [B, K+1]; preds[i] follows block[:i+1]
-
-        # longest accepted draft prefix, then the model's own next token.
-        # Emitted tokens are preds verbatim: preds[i] == draft[i] on every
-        # accepted position by construction, and preds[a] is the bonus token.
-        acc = jnp.cumprod((preds[:, :k] == draft).astype(jnp.int32), axis=1)
-        a = jnp.sum(acc, axis=1)  # [B] in 0..K
-        emitted = preds
-        count = a + 1
-        # truncate at the first stop token inside the emitted prefix
-        hit = jnp.isin(emitted, stop_arr) & (kidx < count[:, None])
-        any_hit = hit.any(axis=1)
-        first_hit = jnp.argmax(hit, axis=1)
-        count = jnp.where(any_hit, first_hit + 1, count)
-        count = jnp.where(done, 0, jnp.minimum(count, max_new_tokens - gen_lens))
-
-        wpos = gen_lens[:, None] + kidx
-        wvalid = kidx < count[:, None]
-        safe = jnp.where(wvalid, wpos, max_new_tokens)  # OOB rows dropped
-        tokens = tokens.at[bidx, safe].set(emitted, mode="drop")
-        hiddens = hiddens.at[bidx, safe].set(h.astype(model.dtype), mode="drop")
-        hist = hist.at[bidx, jnp.where(wvalid, s + wpos, lh)].set(
-            emitted, mode="drop"
-        )
-
-        new_done = done | any_hit | (gen_lens + count >= max_new_tokens)
-        # cache holds [cur | accepted drafts]; the bonus token is next
-        # iteration's cur and gets its KV written then
-        adv = jnp.where(done, 0, 1 + jnp.minimum(a, jnp.maximum(count - 1, 0)))
-        new_cur = jnp.take_along_axis(
-            emitted, jnp.maximum(count - 1, 0)[:, None], axis=1
-        )[:, 0]
-        new_cur = jnp.where(count > 0, new_cur, cur)
-        n_drafted = n_drafted + jnp.where(done, 0, k)
-        n_accepted = n_accepted + jnp.where(done, 0, jnp.maximum(count - 1, 0))
-        return (
-            it + 1, tokens, hiddens, cache, cache_len + adv, new_cur,
-            new_done, gen_lens + count, hist, n_drafted, n_accepted,
-        )
-
-    state = (
-        jnp.asarray(1, jnp.int32), tokens, hiddens, cache, seq_lens, t0,
-        done0, gen0, hist, jnp.zeros((b,), jnp.int32),
-        jnp.zeros((b,), jnp.int32),
+    end = s + gen_lens
+    draft = draft_tokens(hist, end)  # [B, K]
+    block = jnp.concatenate([cur[:, None], draft], axis=1)  # [B, K+1]
+    emb = model.apply(
+        {"params": params}, jnp.maximum(block, 0), method=Qwen2LM.embed
     )
-    state = jax.lax.while_loop(cond, body, state)
-    (it, tokens, hiddens, _, _, _, _, gen_lens, _, n_drafted,
-     n_accepted) = state
-    return SpecResult(
-        tokens=tokens, gen_lens=gen_lens, hidden=hiddens, n_iters=it,
-        n_drafted=n_drafted, n_accepted=n_accepted,
+    positions = cache_len[:, None] + kidx
+    h, cache = model.apply(
+        {"params": params},
+        emb,
+        positions,
+        None,
+        cache,
+        cache_len,
+        "verify",
+        method=Qwen2LM.backbone,
     )
+    preds = _argmax_tokens(model, params, h, vocab_size)
+    # preds[i] follows block[:i+1]
+
+    # longest accepted draft prefix, then the model's own next token.
+    # Emitted tokens are preds verbatim: preds[i] == draft[i] on every
+    # accepted position by construction, and preds[a] is the bonus token.
+    acc = jnp.cumprod((preds[:, :k] == draft).astype(jnp.int32), axis=1)
+    a = jnp.sum(acc, axis=1)  # [B] in 0..K
+    emitted = preds
+    count = a + 1
+    # truncate at the first stop token inside the emitted prefix
+    hit = jnp.isin(emitted, stop_arr) & (kidx < count[:, None])
+    any_hit = hit.any(axis=1)
+    first_hit = jnp.argmax(hit, axis=1)
+    count = jnp.where(any_hit, first_hit + 1, count)
+    count = jnp.where(done, 0, jnp.minimum(count, max_new_tokens - gen_lens))
+
+    wpos = gen_lens[:, None] + kidx
+    wvalid = kidx < count[:, None]
+    safe = jnp.where(wvalid, wpos, max_new_tokens)  # OOB rows dropped
+    tokens = tokens.at[bidx, safe].set(emitted, mode="drop")
+    hiddens = hiddens.at[bidx, safe].set(h.astype(model.dtype), mode="drop")
+    hist = hist.at[bidx, jnp.where(wvalid, s + wpos, lh)].set(
+        emitted, mode="drop"
+    )
+
+    new_done = done | any_hit | (gen_lens + count >= max_new_tokens)
+    # cache holds [cur | accepted drafts]; the bonus token is next
+    # iteration's cur and gets its KV written then
+    adv = jnp.where(done, 0, 1 + jnp.minimum(a, jnp.maximum(count - 1, 0)))
+    new_cur = jnp.take_along_axis(
+        emitted, jnp.maximum(count - 1, 0)[:, None], axis=1
+    )[:, 0]
+    new_cur = jnp.where(count > 0, new_cur, cur)
+    n_drafted = n_drafted + jnp.where(done, 0, k)
+    n_accepted = n_accepted + jnp.where(done, 0, jnp.maximum(count - 1, 0))
+    return (
+        it + 1, tokens, hiddens, cache, cache_len + adv, new_cur,
+        new_done, gen_lens + count, hist, n_drafted, n_accepted,
+    )
+
+
+_spec_prefill_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "cache_max_len", "max_new_tokens", "stop_ids", "vocab_size",
+        "kv_quant", "prefill_chunk",
+    ),
+)(_spec_init)
+
+_spec_step_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "k", "stop_ids", "vocab_size", "max_new_tokens",
+        "prompt_len",
+    ),
+)(_spec_body)
+
+
+def spec_stream_generate(
+    model: Qwen2LM,
+    params,
+    input_embeds: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    stop_ids: Sequence[int],
+    cache_max_len: int,
+    draft_k: int = 4,
+    vocab_size: int | None = None,
+    kv_quant: bool = False,
+    prefill_chunk: int = 0,
+):
+    """Streaming speculative decode: one jitted draft→verify iteration per
+    dispatch, yielding ``(tokens [B, max_new], new_gen_lens [B], hiddens,
+    done [B])`` after each — the consumer slices
+    ``tokens[b, prev_len:new_len]`` for the fresh tokens. Emits the same
+    stream as ``spec_generate`` (and therefore plain greedy), token for
+    token, while surfacing 1..K+1 tokens per weight pass — streaming AND
+    speculation compose."""
+    cfg: Qwen2Config = model.cfg
+    b, s, _ = input_embeds.shape
+    k = int(draft_k)
+    vocab_size = vocab_size or cfg.vocab_size
+    assert cache_max_len >= s + max_new_tokens + k, (
+        cache_max_len, s, max_new_tokens, k
+    )
+    cache_max_len = -(-cache_max_len // 128) * 128
+    stop_ids = tuple(stop_ids)
+    state = _spec_prefill_jit(
+        model, params, input_embeds, seq_lens, prompt_ids,
+        cache_max_len=cache_max_len, max_new_tokens=max_new_tokens,
+        stop_ids=stop_ids, vocab_size=vocab_size, kv_quant=kv_quant,
+        prefill_chunk=prefill_chunk,
+    )
+    yield state[1], state[7], state[2], state[6]  # tokens, gen_lens, hiddens, done
+    while int(state[0]) < max_new_tokens and not bool(jnp.all(state[6])):
+        state = _spec_step_jit(
+            model, params, state, k=k, stop_ids=stop_ids,
+            vocab_size=vocab_size, max_new_tokens=max_new_tokens,
+            prompt_len=s,
+        )
+        yield state[1], state[7], state[2], state[6]
