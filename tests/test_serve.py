@@ -284,6 +284,33 @@ def test_http_streaming(stub, monkeypatch):
             server.server_close()
 
 
+def test_stream_cancel_stops_producer(stub, monkeypatch):
+    produced = []
+
+    def fake(video, instruct, model, tokenizer, **kw):
+        for i in range(100):
+            produced.append(i)
+            yield f"d{i}"
+            time.sleep(0.02)
+
+    monkeypatch.setattr(serve_mod, "mm_infer_stream", fake)
+    with _sched() as s:
+        fut = s.submit_stream(_sample("q"))
+        it = iter(fut)
+        next(it)  # first delta arrived
+        fut.cancel()
+    # worker drained at close; cancellation cut the 100-delta stream short
+    assert len(produced) < 100
+
+
+def test_latency_percentiles_in_stats(stub):
+    with _sched() as s:
+        s.submit(_sample("q"), max_new_tokens=8).result(timeout=10)
+        st = s.stats()
+    assert st["latency_s"]["p50"] >= 0.0
+    assert st["latency_s"]["p95"] >= st["latency_s"]["p50"]
+
+
 def test_mask_rle_round_trips_through_encoding():
     from ufvideo_tpu import rle
     from ufvideo_tpu.serve import _encode_result

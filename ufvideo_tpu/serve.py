@@ -83,13 +83,16 @@ class ServeFuture:
 class StreamFuture:
     """Iterator over one streaming request's text deltas. The scheduler
     worker pushes deltas as decode chunks complete; iterating blocks until
-    the next delta or completion (raising the producer's error, if any)."""
+    the next delta or completion (raising the producer's error, if any).
+    ``cancel()`` (e.g. on client disconnect) makes the producer stop
+    dispatching further decode chunks after the current one."""
 
     _DONE = object()
 
     def __init__(self) -> None:
         self._q: "queue_mod.Queue" = queue_mod.Queue()
         self._error: Optional[BaseException] = None
+        self.cancelled = False
 
     def push(self, delta: str) -> None:
         self._q.put(delta)
@@ -97,6 +100,9 @@ class StreamFuture:
     def finish(self, error: Optional[BaseException] = None) -> None:
         self._error = error
         self._q.put(self._DONE)
+
+    def cancel(self) -> None:
+        self.cancelled = True
 
     def __iter__(self):
         while True:
@@ -187,6 +193,7 @@ class BatchingScheduler:
             "streamed": 0,
             "errors": 0,
         }
+        self._latencies: deque[float] = deque(maxlen=512)
         self._worker = threading.Thread(
             target=self._run, name="ufvideo-serve-worker", daemon=True
         )
@@ -248,12 +255,25 @@ class BatchingScheduler:
     def stats(self) -> Dict[str, Any]:
         with self.stats_lock:
             s = dict(self._stats)
+            lat = sorted(self._latencies)
         s["mean_batch_size"] = (
             s["batched_samples"] / s["batches"] if s["batches"] else 0.0
         )
+        if lat:
+            s["latency_s"] = {
+                "p50": round(lat[len(lat) // 2], 4),
+                "p95": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 4),
+                "mean": round(sum(lat) / len(lat), 4),
+            }
         with self._lock:
             s["pending"] = len(self._pending)
         return s
+
+    def _record_latency(self, reqs) -> None:
+        now = time.perf_counter()
+        with self.stats_lock:
+            for r in reqs:
+                self._latencies.append(now - r.t_enqueue)
 
     def close(self, timeout: float = 60.0) -> None:
         """Stop intake, drain already-queued requests, join the worker."""
@@ -338,10 +358,15 @@ class BatchingScheduler:
                     masks=s.get("masks"), ann_indices=s.get("ann_indices"),
                     frame=s.get("frame"), chunk=chunk, **gen,
                 ):
+                    if head.future.cancelled:
+                        # consumer went away — closing the generator stops
+                        # further decode dispatches
+                        break
                     head.future.push(delta)
                 with self.stats_lock:
                     self._stats["requests"] += 1
                     self._stats["streamed"] += 1
+                self._record_latency(reqs)
                 head.future.finish()
             except Exception as e:  # noqa: BLE001 — delivered to consumer
                 with self.stats_lock:
@@ -358,6 +383,7 @@ class BatchingScheduler:
                 self._stats["requests"] += len(reqs)
                 self._stats["batches"] += 1
                 self._stats["batched_samples"] += len(reqs)
+            self._record_latency(reqs)
             for r, res in zip(reqs, results):
                 r.future.set_result(res)
         except Exception:
@@ -534,15 +560,23 @@ def serve_http(
                         self.wfile.write(
                             b'data: {"done": true}\n\n'
                         )
-                    except Exception as e:  # mid-stream error
-                        self.wfile.write(
-                            b"data: "
-                            + json.dumps(
-                                {"error": f"{type(e).__name__}: {e}"}
-                            ).encode()
-                            + b"\n\n"
-                        )
-                    self.wfile.flush()
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        # client went away — stop the producer's remaining
+                        # decode dispatches
+                        sfut.cancel()
+                    except Exception as e:  # mid-stream producer error
+                        try:
+                            self.wfile.write(
+                                b"data: "
+                                + json.dumps(
+                                    {"error": f"{type(e).__name__}: {e}"}
+                                ).encode()
+                                + b"\n\n"
+                            )
+                            self.wfile.flush()
+                        except OSError:
+                            sfut.cancel()
                     return
                 fut = scheduler.submit(
                     sample, modal=modal, choice=choice, **gen
