@@ -22,9 +22,9 @@ Design notes (TPU-shaped):
   single-stream (and two concurrent clients can wedge the axon tunnel), so
   serialized dispatch is correct here, not a limitation; concurrency lives in
   the intake queue and the batching window.
-- A failed batch falls back to per-sample ``mm_infer`` (the same contract the
-  eval runner's ``--batch`` mode uses), so one poisoned request cannot take
-  down its batchmates.
+- A failed batch retries each sample alone (the same contract the eval
+  runner's ``--batch`` mode uses), so one poisoned request cannot take down
+  its batchmates.
 """
 
 from __future__ import annotations
@@ -305,10 +305,12 @@ class BatchingScheduler:
                 1 for r in self._pending if _batch_key(r) == head_key
             )
             deadline = self._pending[0].t_enqueue + self.max_wait_s
-            # wait for batchmates unless the head group is already full or
-            # we are draining for close()
+            # wait for batchmates unless the head group is already full, the
+            # head can never gain any (streams have unique keys), or we are
+            # draining for close()
             while (
                 compat < self.max_batch
+                and not self._pending[0].stream
                 and not self._closing
                 and time.perf_counter() < deadline
             ):
