@@ -41,6 +41,15 @@ def main():
                    help="prompt-lookup speculative decoding draft length "
                         "(greedy-exact; serves greedy requests with fewer "
                         "weight-read passes; 0 = off)")
+    p.add_argument("--engine", action="store_true",
+                   help="slot-based continuous batching (in-flight request "
+                        "admission; greedy QA only — concurrent streams "
+                        "share each weight pass instead of serializing)")
+    p.add_argument("--engine-chunk", type=int, default=8,
+                   help="decode steps per engine dispatch")
+    p.add_argument("--max-new-cap", type=int, default=512,
+                   help="engine per-request max_new_tokens cap (sizes the "
+                        "persistent KV cache)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=8)
@@ -81,18 +90,31 @@ def main():
         tokenizer_path=args.tokenizer_path or None,
     )
 
-    scheduler = BatchingScheduler(
-        model, tokenizer,
-        max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms,
-        max_queue=args.max_queue,
-    )
+    if args.engine:
+        from ufvideo_tpu.engine import StreamingEngine
+
+        scheduler = StreamingEngine(
+            model, tokenizer,
+            max_slots=args.max_batch,
+            chunk=args.engine_chunk,
+            max_new_cap=args.max_new_cap,
+            max_queue=args.max_queue,
+        )
+    else:
+        scheduler = BatchingScheduler(
+            model, tokenizer,
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            max_queue=args.max_queue,
+        )
     server = serve_http(
         scheduler, host=args.host, port=args.port,
         request_timeout_s=args.request_timeout_s,
     )
+    mode = "engine" if args.engine else "scheduler"
     print(f"serving on http://{args.host}:{server.server_address[1]} "
-          f"(max_batch={args.max_batch}, quant={args.quant})", flush=True)
+          f"({mode}, max_batch={args.max_batch}, quant={args.quant})",
+          flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

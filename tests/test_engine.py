@@ -1,0 +1,105 @@
+"""Continuous-batching engine: in-flight admission correctness on the tiny
+model (slot outputs must match mm_infer regardless of batchmates), plus
+surface checks."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # real tiny model, compile-heavy
+
+from ufvideo_tpu.api import mm_infer, model_init
+from ufvideo_tpu.configs import tiny_config
+from ufvideo_tpu.engine import StreamingEngine
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    return model_init(None, cfg=tiny_config())
+
+
+def _video(cfg, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randn(
+        cfg.budget.num_frames, cfg.vision.image_size, cfg.vision.image_size, 3
+    ).astype(np.float32)
+
+
+def test_engine_matches_mm_infer_with_staggered_admission(runtime):
+    model, _, tok = runtime
+    cfg = model.cfg
+    videos = [_video(cfg, i) for i in range(3)]
+    prompts = [f"What happens in scene {i}?" for i in range(3)]
+    expect = [
+        mm_infer(v, p, model, tok, max_new_tokens=6)[0]
+        for v, p in zip(videos, prompts)
+    ]
+
+    with StreamingEngine(model, tok, max_slots=2, chunk=2,
+                         max_new_cap=8) as eng:
+        # request 0 starts alone; 1 joins mid-decode; 2 queues behind the
+        # 2-slot limit and admits when a slot frees — all three must match
+        # their solo mm_infer outputs exactly
+        f0 = eng.submit({"video": videos[0], "instruct": prompts[0]},
+                        max_new_tokens=6)
+        time.sleep(0.3)
+        f1 = eng.submit({"video": videos[1], "instruct": prompts[1]},
+                        max_new_tokens=6)
+        f2 = eng.submit({"video": videos[2], "instruct": prompts[2]},
+                        max_new_tokens=6)
+        got = [f.result(timeout=600) for f in (f0, f1, f2)]
+        st = eng.stats()
+    for i, (text, out) in enumerate(got):
+        assert text == expect[i], i
+        assert out["pred_masks"] == []
+    assert st["completed"] == 3 and st["errors"] == 0
+    assert st["admissions"] == 3
+
+
+def test_engine_streams_share_the_batch(runtime):
+    model, _, tok = runtime
+    cfg = model.cfg
+    v = _video(cfg, 7)
+    expect = mm_infer(v, "Describe.", model, tok, max_new_tokens=6)[0]
+
+    with StreamingEngine(model, tok, max_slots=3, chunk=2,
+                         max_new_cap=8) as eng:
+        futs = [
+            eng.submit_stream({"video": v, "instruct": "Describe."},
+                              max_new_tokens=6)
+            for _ in range(3)
+        ]
+        texts = ["".join(f).strip() for f in futs]
+        st = eng.stats()
+    assert texts == [expect] * 3
+    # three concurrent streams decoded in shared chunks, not serialized:
+    # a serialized engine would need ~3x the chunk dispatches
+    assert st["chunks"] <= 2 * (6 // 2 + 2)
+
+
+def test_engine_rejects_unsupported(runtime):
+    model, _, tok = runtime
+    with StreamingEngine(model, tok, max_slots=2, max_new_cap=8) as eng:
+        with pytest.raises(ValueError, match="greedy-only"):
+            eng.submit({"instruct": "x"}, modal="text", do_sample=True)
+        with pytest.raises(ValueError, match="QA-only"):
+            eng.submit(
+                {"instruct": "x", "images_sam": np.zeros((1, 8, 8, 3))},
+                modal="text",
+            )
+        with pytest.raises(ValueError, match="cap"):
+            eng.submit({"instruct": "x"}, modal="text", max_new_tokens=99)
+
+
+def test_engine_close_drains_queue(runtime):
+    model, _, tok = runtime
+    cfg = model.cfg
+    v = _video(cfg, 9)
+    eng = StreamingEngine(model, tok, max_slots=1, chunk=2, max_new_cap=8)
+    f1 = eng.submit({"video": v, "instruct": "a?"}, max_new_tokens=4)
+    f2 = eng.submit({"video": v, "instruct": "b?"}, max_new_tokens=4)
+    eng.close(timeout=600)
+    assert isinstance(f1.result(timeout=1)[0], str)
+    assert isinstance(f2.result(timeout=1)[0], str)

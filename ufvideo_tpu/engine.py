@@ -1,0 +1,394 @@
+"""Slot-based continuous batching engine (in-flight request admission).
+
+Beyond the admission-batched scheduler (`serve.py`), this engine keeps ONE
+persistent decode batch of ``max_slots`` sequences alive and lets requests
+join it *between decode chunks*: a request arriving mid-decode is vision-
+encoded, spliced, prefilled into a free slot of the persistent KV cache, and
+decodes alongside the requests already in flight — no waiting for the
+current batch to finish. TPU economics make this nearly free: bs-1 decode is
+weight-bandwidth-bound, so stepping 8 slots costs almost the same as
+stepping 1 (PERF.md), and every occupied slot is pure extra throughput.
+This is also what makes concurrent STREAMS scale — in the admission
+scheduler each stream owns the device for its whole reply (serialized);
+here all active streams share each weight pass.
+
+Mechanics (all shapes static):
+- Persistent state: a ``[L, max_slots, Hkv, S, D]`` KV cache with
+  ``S = max_seq_len + max_new_cap`` positions, plus host-side numpy
+  ``cache_len`` / ``cur`` / ``done`` per slot (idle slot == done).
+- Admission: ``prefill_start`` runs the request alone on a
+  256-bucketed-length scratch cache (a bounded set of compile variants);
+  ``_copy_slot`` writes its K/V rows into the slot. The ragged decode
+  kernel is row-independent, so a slot's tokens are bit-identical to what
+  the request would produce alone — batchmates never perturb outputs
+  (tests pin engine text == mm_infer text under staggered admission).
+- Stepping: one ``decode_chunk`` dispatch advances every active slot
+  ``chunk`` tokens; finished slots (eos, budget, host-side stop string)
+  retire between chunks and free their slot.
+
+Scope: greedy QA generation (the serving hot path). Sampling requests need
+per-slot rng/temperature vectors and seg requests need the full-pass hidden
+states — both fall back to the classic paths (`serve.BatchingScheduler`,
+`api.mm_infer`). ``spec_decode`` does not compose with slot batching yet
+(per-slot verify lengths diverge); the engine uses plain chunked decode.
+"""
+
+from __future__ import annotations
+
+import queue as queue_mod
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .api import UFVideoRuntime, _assemble_input_ids, _encode_video_input
+from .constants import DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN
+from .mm_utils import trim_at_stop_strings
+from .models.generate import decode_chunk, prefill_start
+from .models.qwen2 import make_kv_cache
+from .serve import ServeFuture, StreamFuture
+from .splicing import plan_splice
+
+__all__ = ["StreamingEngine"]
+
+
+@dataclass
+class _EngineRequest:
+    sample: Dict[str, Any]
+    modal: str
+    choice: int
+    gen: Dict[str, Any]
+    future: Any  # StreamFuture (stream) or ServeFuture (collected)
+    stream: bool
+    t_enqueue: float = field(default_factory=time.perf_counter)
+
+
+class _SlotState:
+    """Host bookkeeping for one occupied slot."""
+
+    def __init__(self, req: _EngineRequest):
+        self.req = req
+        self.ids: List[int] = []
+        self.text_prev = ""
+        self.max_new = int(req.gen.get("max_new_tokens", 1024))
+        self.stop_strings = list(req.gen.get("stop_strings") or [])
+        self.finished = False
+
+
+@jax.jit
+def _copy_slot(cache, scratch, slot):
+    """Write a 1-sequence scratch cache's rows into batch row ``slot`` of
+    the persistent cache (scratch S may be shorter than the persistent S)."""
+    return jax.tree.map(
+        lambda c, p: jax.lax.dynamic_update_slice(
+            c, p.astype(c.dtype), (0, slot) + (0,) * (p.ndim - 2)
+        ),
+        cache, scratch,
+    )
+
+
+class StreamingEngine:
+    """Continuous-batching QA engine with the scheduler-compatible surface
+    (``submit`` / ``submit_stream`` / ``stats`` / ``close``), so
+    ``serve.serve_http`` can front either."""
+
+    def __init__(
+        self,
+        model: UFVideoRuntime,
+        tokenizer,
+        max_slots: int = 8,
+        chunk: int = 8,
+        max_new_cap: int = 512,
+        max_queue: int = 256,
+    ) -> None:
+        self.model = model
+        self.tokenizer = tokenizer
+        self.max_slots = int(max_slots)
+        self.chunk = int(chunk)
+        self.max_new_cap = int(max_new_cap)
+        cfg = model.cfg
+        self.cache_positions = -(
+            -(cfg.budget.max_seq_len + self.max_new_cap) // 128
+        ) * 128
+        self._queue: "queue_mod.Queue[_EngineRequest]" = queue_mod.Queue(
+            maxsize=int(max_queue)
+        )
+        self._closing = False
+        self.stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "completed": 0, "errors": 0, "chunks": 0,
+            "admissions": 0,
+        }
+        self._lat: List[float] = []
+
+        # persistent device state (built lazily on first admission so an
+        # idle engine costs no HBM)
+        self._cache = None
+        # host-side per-slot state
+        self._slots: List[Optional[_SlotState]] = [None] * self.max_slots
+        self._cache_len = np.zeros(self.max_slots, np.int32)
+        self._cur = np.zeros(self.max_slots, np.int32)
+        self._done = np.ones(self.max_slots, bool)  # idle == done
+
+        self._worker = threading.Thread(
+            target=self._run, name="ufvideo-engine", daemon=True
+        )
+        self._worker.start()
+
+    # ---------------- client surface ----------------
+
+    def _check(self, sample: Dict[str, Any], gen: Dict[str, Any]) -> None:
+        if gen.get("do_sample"):
+            raise ValueError(
+                "engine mode is greedy-only; route sampling requests "
+                "through the BatchingScheduler"
+            )
+        if sample.get("images_sam") is not None:
+            raise ValueError(
+                "engine mode is QA-only ([SEG]/mask decoding needs the "
+                "full-pass mm_infer path)"
+            )
+        if int(gen.get("max_new_tokens", 1024)) > self.max_new_cap:
+            raise ValueError(
+                f"max_new_tokens exceeds the engine cap {self.max_new_cap}"
+            )
+
+    def _submit(self, sample, modal, choice, gen, stream) -> Any:
+        self._check(sample, gen)
+        fut = StreamFuture() if stream else ServeFuture()
+        req = _EngineRequest(dict(sample), modal, int(choice), dict(gen),
+                             fut, stream)
+        if self._closing:
+            raise RuntimeError("engine is closed")
+        try:
+            self._queue.put_nowait(req)
+        except queue_mod.Full:
+            raise RuntimeError(f"queue full ({self._queue.maxsize} pending)")
+        return fut
+
+    def submit(self, sample, modal="video", choice=1, **gen) -> ServeFuture:
+        """Non-streaming request: resolves to ``(text, out_dict)`` like the
+        scheduler (pred_masks always empty — QA engine)."""
+        return self._submit(sample, modal, choice, gen, stream=False)
+
+    def submit_stream(self, sample, modal="video", choice=1, **gen) -> StreamFuture:
+        return self._submit(sample, modal, choice, gen, stream=True)
+
+    def stats(self) -> Dict[str, Any]:
+        with self.stats_lock:
+            s = dict(self._stats)
+            lat = sorted(self._lat[-512:])
+        s["active_slots"] = sum(sl is not None for sl in self._slots)
+        s["pending"] = self._queue.qsize()
+        if lat:
+            s["latency_s"] = {
+                "p50": round(lat[len(lat) // 2], 4),
+                "p95": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 4),
+            }
+        return s
+
+    def close(self, timeout: float = 120.0) -> None:
+        self._closing = True
+        self._worker.join(timeout)
+
+    def __enter__(self) -> "StreamingEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ---------------- worker ----------------
+
+    def _free_slot(self) -> Optional[int]:
+        for i, s in enumerate(self._slots):
+            if s is None:
+                return i
+        return None
+
+    def _admit(self, slot: int, req: _EngineRequest) -> None:
+        """Vision-encode + splice + prefill the request into ``slot``."""
+        model, cfg = self.model, self.model.cfg
+        s = req.sample
+        modal_token = {
+            "image": DEFAULT_IMAGE_TOKEN, "video": DEFAULT_VIDEO_TOKEN,
+            "text": "",
+        }[req.modal]
+        input_ids = _assemble_input_ids(
+            s["instruct"], req.choice, modal_token, self.tokenizer
+        )
+        if model.ids.seg in input_ids:
+            raise ValueError("engine mode is QA-only ([SEG] in prompt)")
+        video_feats = _encode_video_input(model, s.get("video"), req.modal)
+        region_feats, region_counts = None, None
+        if s.get("frame") is not None and s.get("masks") is not None:
+            region_feats, region_counts = model.pack_and_encode_regions(
+                np.asarray(s["frame"]), np.asarray(s["masks"]),
+                s.get("ann_indices"),
+            )
+        plan = plan_splice(
+            [input_ids],
+            num_video_tokens=(
+                video_feats.shape[1] if video_feats is not None else 0
+            ),
+            region_token_counts=[region_counts or []],
+            region_token_id=model.ids.region,
+            max_seq_len=cfg.budget.max_seq_len,
+            region_stride=cfg.region.region_token_num,
+        )
+        embeds = model._splice(
+            model.params,
+            jnp.asarray(plan.text_ids),
+            jnp.asarray(plan.src_kind),
+            jnp.asarray(plan.src_idx),
+            video_feats,
+            region_feats,
+        )
+        real_len = int(plan.seq_lens[0])
+        trim = min((real_len + 255) // 256 * 256, cfg.budget.max_seq_len)
+        scratch, t0, _hid, _rng = prefill_start(
+            model.model.llm,
+            model.params["llm"],
+            embeds[:, :trim],
+            jnp.asarray(plan.seq_lens),
+            cache_max_len=trim,
+            vocab_size=cfg.llm.vocab_size,
+            kv_quant=bool(cfg.quant_kv),
+            prefill_chunk=0,
+        )
+        if self._cache is None:
+            self._cache = make_kv_cache(
+                cfg.llm, self.max_slots, self.cache_positions,
+                dtype=cfg.compute_dtype, quant=bool(cfg.quant_kv),
+            )
+        self._cache = _copy_slot(self._cache, scratch, slot)
+        st = _SlotState(req)
+        self._slots[slot] = st
+        self._cache_len[slot] = real_len
+        self._cur[slot] = int(t0[0])
+        self._done[slot] = False
+        with self.stats_lock:
+            self._stats["admissions"] += 1
+        self._emit(slot, [int(t0[0])])
+
+    def _emit(self, slot: int, new_ids: List[int]) -> None:
+        """Append tokens to a slot, stream the text delta, apply host-side
+        stop rules (eos is in-chunk; stop_strings and the budget here)."""
+        st = self._slots[slot]
+        take = min(len(new_ids), st.max_new - len(st.ids))
+        st.ids.extend(new_ids[:take])
+        eos_hit = self.model.ids.eos in st.ids[-take:] if take else False
+        text = self.tokenizer.decode(st.ids, skip_special_tokens=True)
+        stopped = st.stop_strings and any(
+            k in text for k in st.stop_strings
+        )
+        if stopped:
+            text = trim_at_stop_strings(text, st.stop_strings)
+        if st.req.stream:
+            if st.req.future.cancelled:
+                self._retire(slot)
+                return
+            if text.startswith(st.text_prev):
+                delta = text[len(st.text_prev):]
+                if delta:
+                    st.req.future.push(delta)
+                st.text_prev = text
+        else:
+            st.text_prev = text
+        if stopped or eos_hit or len(st.ids) >= st.max_new:
+            self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        st = self._slots[slot]
+        st.finished = True
+        try:
+            if st.req.stream:
+                st.req.future.finish()
+            else:
+                text = st.text_prev.strip()
+                st.req.future.set_result(
+                    (text, {"output": list(st.ids), "pred_masks": []})
+                )
+        finally:
+            with self.stats_lock:
+                self._stats["completed"] += 1
+                self._lat.append(time.perf_counter() - st.req.t_enqueue)
+                if len(self._lat) > 2048:
+                    del self._lat[:1024]
+            self._slots[slot] = None
+            self._done[slot] = True
+
+    def _step(self) -> None:
+        """One decode_chunk dispatch over every active slot."""
+        cfg = self.model.cfg
+        tokens, n, _hiddens, self._cache, cache_len, cur, done, _rng = (
+            decode_chunk(
+                self.model.model.llm,
+                self.model.params["llm"],
+                self._cache,
+                jnp.asarray(self._cache_len),
+                jnp.asarray(self._cur),
+                jnp.asarray(self._done),
+                chunk=self.chunk,
+                stop_ids=(self.model.ids.eos,),
+                vocab_size=cfg.llm.vocab_size,
+            )
+        )
+        tokens = np.asarray(tokens)
+        n = np.asarray(n)
+        # np.array (copy): np.asarray of a jax array is a READ-ONLY view,
+        # and slot bookkeeping mutates these in place
+        self._cache_len = np.array(cache_len)
+        self._cur = np.array(cur)
+        self._done = np.array(done)
+        with self.stats_lock:
+            self._stats["chunks"] += 1
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            k = int(n[slot])
+            if k:
+                self._emit(slot, tokens[slot, :k].tolist())
+            if self._slots[slot] is not None and self._done[slot]:
+                # eos landed in-chunk but _emit kept the slot (no budget /
+                # stop-string hit) — retire on the device's verdict
+                self._retire(slot)
+
+    def _run(self) -> None:
+        while True:
+            # admit as many queued requests as there are free slots
+            admitted = False
+            while True:
+                slot = self._free_slot()
+                if slot is None:
+                    break
+                try:
+                    req = self._queue.get_nowait()
+                except queue_mod.Empty:
+                    break
+                try:
+                    self._admit(slot, req)
+                    with self.stats_lock:
+                        self._stats["requests"] += 1
+                    admitted = True
+                except Exception as e:  # noqa: BLE001 — delivered to caller
+                    with self.stats_lock:
+                        self._stats["requests"] += 1
+                        self._stats["errors"] += 1
+                    if req.stream:
+                        req.future.finish(e)
+                    else:
+                        req.future.set_exception(e)
+
+            active = any(s is not None for s in self._slots)
+            if not active:
+                # drain-on-close: exit only once the queue is empty too
+                if self._closing and self._queue.empty():
+                    return
+                if not admitted:
+                    time.sleep(0.005)
+                continue
+            self._step()
