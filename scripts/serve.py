@@ -47,6 +47,9 @@ def main():
                         "share each weight pass instead of serializing)")
     p.add_argument("--engine-chunk", type=int, default=8,
                    help="decode steps per engine dispatch")
+    p.add_argument("--engine-spec", type=int, default=0,
+                   help="engine speculative draft length (composes slot "
+                        "batching with prompt-lookup speculation; 0 = off)")
     p.add_argument("--max-new-cap", type=int, default=512,
                    help="engine per-request max_new_tokens cap (sizes the "
                         "persistent KV cache)")
@@ -99,6 +102,7 @@ def main():
             chunk=args.engine_chunk,
             max_new_cap=args.max_new_cap,
             max_queue=args.max_queue,
+            spec_k=args.engine_spec,
         )
     else:
         scheduler = BatchingScheduler(

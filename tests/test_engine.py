@@ -79,6 +79,32 @@ def test_engine_streams_share_the_batch(runtime):
     assert st["chunks"] <= 2 * (6 // 2 + 2)
 
 
+def test_engine_spec_mode_matches_mm_infer(runtime):
+    """spec_k composes slot batching with speculation: staggered admission,
+    outputs still token-exact vs solo mm_infer."""
+    model, _, tok = runtime
+    cfg = model.cfg
+    videos = [_video(cfg, 20 + i) for i in range(2)]
+    prompts = [f"Describe object {i}." for i in range(2)]
+    expect = [
+        mm_infer(v, p, model, tok, max_new_tokens=6)[0]
+        for v, p in zip(videos, prompts)
+    ]
+    with StreamingEngine(model, tok, max_slots=2, chunk=2, max_new_cap=8,
+                         spec_k=2) as eng:
+        f0 = eng.submit({"video": videos[0], "instruct": prompts[0]},
+                        max_new_tokens=6)
+        time.sleep(0.3)
+        f1 = eng.submit({"video": videos[1], "instruct": prompts[1]},
+                        max_new_tokens=6)
+        got = [f.result(timeout=600) for f in (f0, f1)]
+        st = eng.stats()
+    for i, (text, _out) in enumerate(got):
+        assert text == expect[i], i
+    assert st["completed"] == 2 and st["errors"] == 0
+    assert st["spec"]["drafted"] > 0  # the spec path actually ran
+
+
 def test_engine_rejects_unsupported(runtime):
     model, _, tok = runtime
     with StreamingEngine(model, tok, max_slots=2, max_new_cap=8) as eng:

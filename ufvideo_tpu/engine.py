@@ -29,8 +29,12 @@ Mechanics (all shapes static):
 Scope: greedy QA generation (the serving hot path). Sampling requests need
 per-slot rng/temperature vectors and seg requests need the full-pass hidden
 states — both fall back to the classic paths (`serve.BatchingScheduler`,
-`api.mm_infer`). ``spec_decode`` does not compose with slot batching yet
-(per-slot verify lengths diverge); the engine uses plain chunked decode.
+`api.mm_infer`). ``spec_k > 0`` composes slot batching with prompt-lookup
+speculative decoding: the spec loop state is batch-shaped, so each engine
+step is one draft→verify pass over every active slot (1..K+1 tokens per
+slot per weight pass); admission resets one state row
+(`speculative.spec_slot_admit`) and per-slot retirement ORs a host mask in
+(`spec_set_done`).
 """
 
 from __future__ import annotations
@@ -104,15 +108,22 @@ class StreamingEngine:
         chunk: int = 8,
         max_new_cap: int = 512,
         max_queue: int = 256,
+        spec_k: int = 0,
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer
         self.max_slots = int(max_slots)
         self.chunk = int(chunk)
         self.max_new_cap = int(max_new_cap)
+        # spec_k > 0: slot batching composes with prompt-lookup speculative
+        # decoding — the spec loop state is already batch-shaped, so each
+        # step is one draft→verify pass over every active slot (1..K+1
+        # tokens per slot per weight pass); admission resets one row
+        # (models/speculative.spec_slot_admit)
+        self.spec_k = int(spec_k)
         cfg = model.cfg
         self.cache_positions = -(
-            -(cfg.budget.max_seq_len + self.max_new_cap) // 128
+            -(cfg.budget.max_seq_len + self.max_new_cap + self.spec_k) // 128
         ) * 128
         self._queue: "queue_mod.Queue[_EngineRequest]" = queue_mod.Queue(
             maxsize=int(max_queue)
@@ -128,11 +139,13 @@ class StreamingEngine:
         # persistent device state (built lazily on first admission so an
         # idle engine costs no HBM)
         self._cache = None
+        self._spec_state = None  # spec mode: the 11-tuple spec loop state
         # host-side per-slot state
         self._slots: List[Optional[_SlotState]] = [None] * self.max_slots
         self._cache_len = np.zeros(self.max_slots, np.int32)
         self._cur = np.zeros(self.max_slots, np.int32)
         self._done = np.ones(self.max_slots, bool)  # idle == done
+        self._forced_done = np.zeros(self.max_slots, bool)  # spec mode
 
         self._worker = threading.Thread(
             target=self._run, name="ufvideo-engine", daemon=True
@@ -184,6 +197,11 @@ class StreamingEngine:
             lat = sorted(self._lat[-512:])
         s["active_slots"] = sum(sl is not None for sl in self._slots)
         s["pending"] = self._queue.qsize()
+        if self._spec_state is not None:
+            s["spec"] = {
+                "drafted": int(np.asarray(self._spec_state[9]).sum()),
+                "accepted": int(np.asarray(self._spec_state[10]).sum()),
+            }
         if lat:
             s["latency_s"] = {
                 "p50": round(lat[len(lat) // 2], 4),
@@ -259,20 +277,58 @@ class StreamingEngine:
             kv_quant=bool(cfg.quant_kv),
             prefill_chunk=0,
         )
-        if self._cache is None:
-            self._cache = make_kv_cache(
-                cfg.llm, self.max_slots, self.cache_positions,
-                dtype=cfg.compute_dtype, quant=bool(cfg.quant_kv),
+        if self.spec_k:
+            from .models.speculative import spec_slot_admit
+            from .splicing import plan_lookup_ids
+
+            if self._spec_state is None:
+                self._spec_state = self._init_spec_state()
+            s_off = cfg.budget.max_seq_len
+            row = np.full((s_off + self.max_new_cap,), -1, np.int32)
+            row[:s_off] = plan_lookup_ids(plan)[0]
+            self._spec_state = spec_slot_admit(
+                self._spec_state, slot, scratch, t0[0],
+                jnp.asarray(real_len, jnp.int32), jnp.asarray(row),
             )
-        self._cache = _copy_slot(self._cache, scratch, slot)
+        else:
+            if self._cache is None:
+                self._cache = make_kv_cache(
+                    cfg.llm, self.max_slots, self.cache_positions,
+                    dtype=cfg.compute_dtype, quant=bool(cfg.quant_kv),
+                )
+            self._cache = _copy_slot(self._cache, scratch, slot)
+            self._cache_len[slot] = real_len
+            self._cur[slot] = int(t0[0])
         st = _SlotState(req)
         self._slots[slot] = st
-        self._cache_len[slot] = real_len
-        self._cur[slot] = int(t0[0])
         self._done[slot] = False
+        self._forced_done[slot] = False
         with self.stats_lock:
             self._stats["admissions"] += 1
         self._emit(slot, [int(t0[0])])
+
+    def _init_spec_state(self):
+        """Zeroed batch-shaped spec loop state (all slots idle == done)."""
+        cfg = self.model.cfg
+        b, cap = self.max_slots, self.max_new_cap
+        s_off = cfg.budget.max_seq_len
+        cache = make_kv_cache(
+            cfg.llm, b, self.cache_positions,
+            dtype=cfg.compute_dtype, quant=bool(cfg.quant_kv),
+        )
+        return (
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((b, cap), jnp.int32),
+            jnp.zeros((b, cap, cfg.llm.hidden_size), cfg.compute_dtype),
+            cache,
+            jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.ones((b,), bool),
+            jnp.zeros((b,), jnp.int32),
+            jnp.full((b, s_off + cap), -1, jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+        )
 
     def _emit(self, slot: int, new_ids: List[int]) -> None:
         """Append tokens to a slot, stream the text delta, apply host-side
@@ -320,10 +376,48 @@ class StreamingEngine:
                     del self._lat[:1024]
             self._slots[slot] = None
             self._done[slot] = True
+            # spec mode: the device-side done flag must follow, or the slot
+            # keeps burning verify work (and cache positions) until readmit
+            self._forced_done[slot] = True
 
     def _step(self) -> None:
-        """One decode_chunk dispatch over every active slot."""
+        """One decode dispatch over every active slot: a ``chunk``-step
+        decode_chunk in plain mode, or one draft→verify spec iteration
+        (1..K+1 tokens per slot) in spec mode."""
         cfg = self.model.cfg
+        if self.spec_k:
+            from .models.speculative import _spec_step_jit, spec_set_done
+
+            if self._forced_done.any():
+                self._spec_state = spec_set_done(
+                    self._spec_state, jnp.asarray(self._forced_done)
+                )
+                self._forced_done[:] = False
+            self._spec_state = _spec_step_jit(
+                self.model.model.llm,
+                self.model.params["llm"],
+                self._spec_state,
+                k=self.spec_k,
+                stop_ids=(self.model.ids.eos,),
+                vocab_size=cfg.llm.vocab_size,
+                max_new_tokens=self.max_new_cap,
+                prompt_len=cfg.budget.max_seq_len,
+            )
+            tokens = np.asarray(self._spec_state[1])
+            gen_lens = np.asarray(self._spec_state[7])
+            self._done = np.array(self._spec_state[6])
+            with self.stats_lock:
+                self._stats["chunks"] += 1
+            for slot, st in enumerate(self._slots):
+                if st is None:
+                    continue
+                new = int(gen_lens[slot])
+                prev = len(st.ids)
+                if new > prev:
+                    self._emit(slot, tokens[slot, prev:new].tolist())
+                if self._slots[slot] is not None and self._done[slot]:
+                    self._retire(slot)
+            return
         tokens, n, _hiddens, self._cache, cache_len, cur, done, _rng = (
             decode_chunk(
                 self.model.model.llm,

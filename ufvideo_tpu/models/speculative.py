@@ -294,6 +294,47 @@ _spec_step_jit = functools.partial(
 )(_spec_body)
 
 
+@jax.jit
+def spec_slot_admit(state, slot, scratch_cache, t0, seq_len, hist_row):
+    """Reset row ``slot`` of a persistent spec-loop state for a newly
+    admitted request (engine.py spec mode): copy the request's prefilled
+    scratch-cache rows into the slot, seed its token/history buffers with
+    the prefill's first token, and mark it live. Other rows are untouched —
+    every per-row op in ``_spec_body`` is row-independent, so in-flight
+    slots keep decoding bit-identically."""
+    (it, tokens, hiddens, cache, cache_len, cur, done, gen_lens, hist,
+     n_drafted, n_accepted) = state
+    cache = jax.tree.map(
+        lambda c, p: jax.lax.dynamic_update_slice(
+            c, p.astype(c.dtype), (0, slot) + (0,) * (p.ndim - 2)
+        ),
+        cache, scratch_cache,
+    )
+    s = hist.shape[1] - tokens.shape[1]  # static prompt-buffer offset
+    tokens = tokens.at[slot].set(0).at[slot, 0].set(t0)
+    hiddens = hiddens.at[slot].set(0)
+    cache_len = cache_len.at[slot].set(seq_len)
+    cur = cur.at[slot].set(t0)
+    done = done.at[slot].set(False)
+    gen_lens = gen_lens.at[slot].set(1)
+    hist = hist.at[slot].set(hist_row).at[slot, s].set(t0)
+    n_drafted = n_drafted.at[slot].set(0)
+    n_accepted = n_accepted.at[slot].set(0)
+    return (
+        it, tokens, hiddens, cache, cache_len, cur, done, gen_lens, hist,
+        n_drafted, n_accepted,
+    )
+
+
+@jax.jit
+def spec_set_done(state, mask):
+    """OR a host-side done mask into the state (per-slot budget/stop-string
+    retirement decided between steps)."""
+    lst = list(state)
+    lst[6] = jnp.logical_or(lst[6], mask)
+    return tuple(lst)
+
+
 def spec_stream_generate(
     model: Qwen2LM,
     params,
