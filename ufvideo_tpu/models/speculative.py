@@ -193,24 +193,40 @@ def _spec_body(
     kidx = jnp.arange(k + 1)[None, :]
 
     def draft_tokens(hist, end):
-        """Most recent bigram match → the K tokens that followed it.
-        ``end`` [B]: one past the last real history entry."""
-        t2 = jnp.take_along_axis(hist, (end - 2)[:, None], axis=1)  # [B,1]
+        """Most recent n-gram match → the K tokens that followed it, trying
+        the last trigram first (longer context = fewer spurious matches =
+        higher acceptance), then the last bigram. ``end`` [B]: one past the
+        last real history entry."""
+        t3 = jnp.take_along_axis(
+            hist, jnp.maximum(end - 3, 0)[:, None], axis=1
+        )  # [B, 1]
+        t2 = jnp.take_along_axis(hist, (end - 2)[:, None], axis=1)
         t1 = jnp.take_along_axis(hist, (end - 1)[:, None], axis=1)
-        cand = (hist[:, :-1] == t2) & (hist[:, 1:] == t1)  # match at (j, j+1)
-        jpos = jnp.arange(lh - 1)[None, :]
-        valid = (
-            cand
-            # full draft window must lie inside real history
-            & (jpos + 2 + k <= end[:, None])
-            # exclude the trivial self-match ending at the history tail
-            & (jpos != (end - 2)[:, None])
-            # a (-1, -1) "bigram" (pad slots) must never match pad runs
-            & (t1 >= 0)
-        )
-        any_m = valid.any(axis=1)
-        j_star = (lh - 2) - jnp.argmax(valid[:, ::-1], axis=1)  # last match
-        start = jnp.where(any_m, j_star + 2, 0)
+
+        def last_match(n, ts):
+            """Latest j where hist[j:j+n] == ts, with the K-token draft
+            window inside real history → (any [B], draft start [B])."""
+            cand = jnp.ones((hist.shape[0], lh - n + 1), bool)
+            for i, t in enumerate(ts):
+                cand = cand & (hist[:, i : lh - n + 1 + i] == t)
+            jpos = jnp.arange(lh - n + 1)[None, :]
+            valid = (
+                cand
+                & (jpos + n + k <= end[:, None])
+                # exclude the trivial self-match ending at the history tail
+                & (jpos != (end - n)[:, None])
+                # the n-gram must be real tokens (no pad-run matching)
+                & (ts[0] >= 0)
+                & (end >= n)[:, None]
+            )
+            any_m = valid.any(axis=1)
+            j_star = (lh - n) - jnp.argmax(valid[:, ::-1], axis=1)
+            return any_m, j_star + n
+
+        any3, start3 = last_match(3, (t3, t2, t1))
+        any2, start2 = last_match(2, (t2, t1))
+        any_m = any3 | any2
+        start = jnp.where(any3, start3, jnp.where(any2, start2, 0))
         d = jnp.take_along_axis(
             hist, start[:, None] + jnp.arange(k)[None, :], axis=1
         )
