@@ -577,7 +577,24 @@ def _mode_fns():
     }
 
 
+def _maybe_enable_compile_cache():
+    """Env-gated persistent compilation cache (UFVIDEO_JAX_CACHE=<dir>).
+
+    Remote TPU compiles cost 3-25 min per jit variant on the axon tunnel;
+    if this backend supports executable serialization, a persistent cache
+    makes repeat bench runs near-instant to warm up. Opt-in until verified
+    on-chip (the CPU test suite already uses the same mechanism)."""
+    cache_dir = os.environ.get("UFVIDEO_JAX_CACHE", "")
+    if not cache_dir:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def main():
+    _maybe_enable_compile_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "driver"
     fns = _mode_fns()
     if which == "all":
