@@ -34,3 +34,17 @@ def mm_infer(*args, **kwargs):
     from .api import mm_infer as _mm_infer
 
     return _mm_infer(*args, **kwargs)
+
+
+def mm_infer_batch(*args, **kwargs):
+    """Batched serving entry (beyond reference) — see api.mm_infer_batch."""
+    from .api import mm_infer_batch as _f
+
+    return _f(*args, **kwargs)
+
+
+def mm_infer_stream(*args, **kwargs):
+    """Streaming QA entry (beyond reference) — see api.mm_infer_stream."""
+    from .api import mm_infer_stream as _f
+
+    return _f(*args, **kwargs)
