@@ -29,15 +29,12 @@ if not RUN_TPU:
     # interpreter startup, so the env var alone is not enough — force the
     # platform through the live config.
     jax.config.update("jax_platforms", "cpu")
-    # Persistent compilation cache: tiny-model compiles dominate the slow
-    # tier's wall clock, and the HLO-hash keys make reuse safe across code
-    # edits (changed programs miss). CPU needs the XLA-caches opt-in.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("UFVIDEO_TEST_JAX_CACHE", "/tmp/ufvideo_jax_test_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    # NOTE: do NOT enable the persistent compilation cache here. On this
+    # CPU backend it needs jax_persistent_cache_enable_xla_caches="all" to
+    # write anything, and that path segfaulted inside
+    # _compile_and_write_cache mid-suite (reproduced 2026-08-18 on a SAM2
+    # position-embedding compile). Warm-rerun speedups (~2.5x) are not
+    # worth a crashing suite; revisit if the backend stabilizes.
 
 
 @pytest.fixture(scope="session")
