@@ -119,6 +119,21 @@ def test_engine_rejects_unsupported(runtime):
             eng.submit({"instruct": "x"}, modal="text", max_new_tokens=99)
 
 
+def test_engine_kv_quant_cache(runtime):
+    """Quantized persistent cache: _copy_slot/decode must route the scale
+    leaves too, and outputs still match the (same-quantization) solo path."""
+    model0, _, tok = runtime
+    model, _, tok2 = model_init(None, cfg=tiny_config().replace(quant_kv=True))
+    cfg = model.cfg
+    v = _video(cfg, 11)
+    expect = mm_infer(v, "What is shown?", model, tok2, max_new_tokens=5)[0]
+    with StreamingEngine(model, tok2, max_slots=2, chunk=2,
+                         max_new_cap=8) as eng:
+        got = eng.submit({"video": v, "instruct": "What is shown?"},
+                         max_new_tokens=5).result(timeout=600)
+    assert got[0] == expect
+
+
 def test_engine_close_drains_queue(runtime):
     model, _, tok = runtime
     cfg = model.cfg
