@@ -37,6 +37,19 @@ if not RUN_TPU:
     # worth a crashing suite; revisit if the backend stabilizes.
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs():
+    """Full-suite single-process runs segfaulted twice (2026-08-18) inside
+    XLA's CPU ``backend_compile_and_load`` ~90% in, at different tests each
+    time, with >120 GB RAM free — consistent with compiler-resource
+    exhaustion after hundreds of live compiled programs, not OOM. Dropping
+    every compiled executable at module teardown caps the live-program
+    count; modules recompile their own shapes anyway, so cross-module reuse
+    was minimal."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
