@@ -593,6 +593,45 @@ def _maybe_enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
+def _backend_reachable(deadline_s: float = 240.0) -> bool:
+    """Bounded device probe in a SUBPROCESS. The axon tunnel can go down
+    for hours (12h+ outage observed 2026-08-18), and a backend init then
+    hangs the process for ~25 min before failing — a subprocess with a hard
+    deadline keeps the driver's bench invocation from hanging forever."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=deadline_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_unreachable_record():
+    """Driver record when no device is reachable: every metric from
+    RECORDED, each explicitly stale — an honest, non-hanging round record."""
+    # headline contract is the bf16 decode metric (last live: 49.8, r2)
+    record = {
+        "metric": "qwen2_7b_decode_tokens_per_sec",
+        "value": 49.8,
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(49.8 / BASELINES["qwen2_7b_decode_tokens_per_sec"], 4)
+        if BASELINES.get("qwen2_7b_decode_tokens_per_sec") else None,
+        "stale": True,
+        "backend_unreachable": True,
+        "extra": {
+            RECORDED[m][0]: {"value": RECORDED[m][1], "stale": True}
+            for m in RECORDED
+        },
+    }
+    print(json.dumps(record))
+
+
 def main():
     _maybe_enable_compile_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "driver"
@@ -621,6 +660,9 @@ def main():
     # live inside the time budget (cheapest first); only a mode whose cost
     # estimate exceeds the remaining budget falls back to its RECORDED
     # value, flagged stale.
+    if not _backend_reachable():
+        _emit_unreachable_record()
+        return
     budget = float(os.environ.get("UFVIDEO_BENCH_BUDGET", 4200.0))
     t_start = time.perf_counter()
     metric, value, unit = bench_decode()
