@@ -1,0 +1,166 @@
+"""Offered-load benchmark for the serving stack.
+
+Drives N concurrent clients against the in-process scheduler or engine
+(no HTTP overhead — this measures the serving core) and reports
+requests/s, token throughput, and latency percentiles as ONE JSON line.
+
+    # smoke (CPU, random tiny weights)
+    python scripts/loadtest.py --tiny --mode engine --clients 8 --requests 32
+
+    # real chip / real model
+    python scripts/loadtest.py --model-path UFVideo-7B ... --mode engine \
+        --quant int8 --clients 16 --requests 64 --max-new 64
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", default="")
+    p.add_argument("--sam-path", default="")
+    p.add_argument("--tokenizer-path", default="")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default="", choices=["", "cpu", "tpu"])
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
+    p.add_argument("--mode", default="engine",
+                   choices=["engine", "scheduler"],
+                   help="engine = slot continuous batching; scheduler = "
+                        "admission batching")
+    p.add_argument("--spec", type=int, default=0,
+                   help="speculative draft length (engine: spec_k; "
+                        "scheduler: cfg.spec_decode)")
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--max-new", type=int, default=16)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--stream-every", type=int, default=0,
+                   help="every Nth request streams (0 = none)")
+    args = p.parse_args()
+
+    platform = args.platform or ("cpu" if args.tiny else "")
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from ufvideo_tpu.api import model_init
+    from ufvideo_tpu.configs import UFVideoConfig, tiny_config
+
+    cfg = tiny_config() if args.tiny else UFVideoConfig()
+    if args.quant != "none":
+        cfg = cfg.replace(quant_llm=args.quant)
+    if args.spec and args.mode == "scheduler":
+        cfg = cfg.replace(spec_decode=args.spec)
+    model, _, tok = model_init(
+        args.model_path or None, cfg=cfg,
+        sam_path=args.sam_path or None,
+        tokenizer_path=args.tokenizer_path or None,
+    )
+    vcfg = model.cfg
+    rng = np.random.RandomState(0)
+    videos = [
+        rng.randn(vcfg.budget.num_frames, vcfg.vision.image_size,
+                  vcfg.vision.image_size, 3).astype(np.float32)
+        for _ in range(4)
+    ]
+
+    if args.mode == "engine":
+        from ufvideo_tpu.engine import StreamingEngine
+
+        backend = StreamingEngine(
+            model, tok, max_slots=args.max_batch,
+            max_new_cap=max(args.max_new + 8, 32), spec_k=args.spec,
+        )
+    else:
+        from ufvideo_tpu.serve import BatchingScheduler
+
+        backend = BatchingScheduler(model, tok, max_batch=args.max_batch)
+
+    # warm the compile caches with one request so the measurement window
+    # isn't dominated by the first-compile latency
+    backend.submit(
+        {"video": videos[0], "instruct": "warmup?"},
+        max_new_tokens=args.max_new,
+    ).result(timeout=3600)
+
+    lat = []
+    lat_lock = threading.Lock()
+    tokens_out = [0]
+    errors = [0]
+    idx = [0]
+    idx_lock = threading.Lock()
+
+    def client(cid: int):
+        while True:
+            with idx_lock:
+                i = idx[0]
+                if i >= args.requests:
+                    return
+                idx[0] += 1
+            t0 = time.perf_counter()
+            sample = {
+                "video": videos[i % len(videos)],
+                "instruct": f"Describe scene {i % 7}.",
+            }
+            try:
+                if args.stream_every and i % args.stream_every == 0:
+                    fut = backend.submit_stream(
+                        sample, max_new_tokens=args.max_new
+                    )
+                    text = "".join(fut)
+                    ntok = max(len(text.split()), 1)
+                else:
+                    _text, out = backend.submit(
+                        sample, max_new_tokens=args.max_new
+                    ).result(timeout=3600)
+                    ntok = len(out["output"])
+                with lat_lock:
+                    lat.append(time.perf_counter() - t0)
+                    tokens_out[0] += ntok
+            except Exception:
+                with lat_lock:
+                    errors[0] += 1
+
+    t_start = time.perf_counter()
+    threads = [
+        threading.Thread(target=client, args=(c,)) for c in range(args.clients)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    backend.close()
+
+    lat.sort()
+    print(json.dumps({
+        "mode": args.mode,
+        "spec": args.spec,
+        "clients": args.clients,
+        "requests": args.requests,
+        "completed": len(lat),
+        "errors": errors[0],
+        "wall_s": round(wall, 2),
+        "requests_per_s": round(len(lat) / wall, 3) if wall else None,
+        "gen_tokens_per_s": round(tokens_out[0] / wall, 1) if wall else None,
+        "latency_s": {
+            "p50": round(lat[len(lat) // 2], 3) if lat else None,
+            "p95": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
+            if lat else None,
+        },
+        "backend_stats": backend.stats(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
