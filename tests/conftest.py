@@ -45,9 +45,11 @@ def _release_compiled_programs():
     exhaustion after hundreds of live compiled programs, not OOM. Dropping
     every compiled executable at module teardown caps the live-program
     count; modules recompile their own shapes anyway, so cross-module reuse
-    was minimal."""
+    was minimal. CPU-only: on the real chip a recompile costs 3-25 min per
+    variant, so clearing between modules would be ruinous there."""
     yield
-    jax.clear_caches()
+    if not RUN_TPU:
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

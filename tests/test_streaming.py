@@ -99,6 +99,85 @@ def test_stream_hidden_states_match():
         )
 
 
+class _ByteTok:
+    def decode(self, ids, skip_special_tokens=True):
+        return bytes(ids).decode("utf-8", errors="replace")
+
+
+def _drain(streamer, chunks):
+    out, stopped = [], False
+    for c in chunks:
+        d, stopped = streamer.push(c)
+        out.append(d)
+        if stopped:
+            return out
+    out.append(streamer.finish())
+    return out
+
+
+def test_text_streamer_holds_partial_utf8():
+    """A multi-byte char split across chunks must never leak a U+FFFD."""
+    from ufvideo_tpu.mm_utils import TextDeltaStreamer
+
+    s = TextDeltaStreamer(_ByteTok())
+    ids = list("ab".encode()) + list("日".encode()) + list("c".encode())
+    # split mid-character: [a b e6] [97] [a5 c]
+    deltas = _drain(s, [ids[:3], ids[3:4], ids[4:]])
+    assert "�" not in "".join(deltas[:-1])
+    assert "".join(deltas) == "ab日c"
+
+
+def test_text_streamer_trailing_partial_flushed_at_finish():
+    from ufvideo_tpu.mm_utils import TextDeltaStreamer
+
+    s = TextDeltaStreamer(_ByteTok())
+    ids = list("x".encode()) + list("日".encode())[:2]  # ends mid-char
+    deltas = _drain(s, [ids])
+    # finish() emits what the one-shot decode would: x + replacement char
+    assert "".join(deltas) == bytes(ids).decode("utf-8", errors="replace")
+
+
+def test_text_streamer_stop_never_leaks_across_chunks():
+    """A stop string spanning a chunk boundary must not stream its prefix."""
+    from ufvideo_tpu.mm_utils import TextDeltaStreamer
+
+    s = TextDeltaStreamer(_ByteTok(), stop_strings=["###"])
+    c1 = list("answer #".encode())
+    c2 = list("##tail".encode())
+    d1, st1 = s.push(c1)
+    assert not st1 and d1 == "answer"  # ' #' held in the reserve window
+    d2, st2 = s.push(c2)
+    assert st2 and d2 == " "
+    assert "".join([d1, d2]) == "answer "  # == trim_at_stop_strings result
+
+
+def test_text_streamer_stop_inside_one_chunk():
+    from ufvideo_tpu.mm_utils import TextDeltaStreamer
+
+    s = TextDeltaStreamer(_ByteTok(), stop_strings=["STOP"])
+    d, stopped = s.push(list("hello STOP world".encode()))
+    assert stopped and d == "hello "
+
+
+def test_text_streamer_join_equals_oneshot_random():
+    """Fuzz: random byte chunks — joined deltas == one-shot decode."""
+    from ufvideo_tpu.mm_utils import TextDeltaStreamer
+
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        n = rng.randint(1, 60)
+        ids = [int(b) for b in rng.bytes(n)]
+        s = TextDeltaStreamer(_ByteTok())
+        cuts = sorted(rng.choice(n + 1, size=min(4, n), replace=True))
+        chunks, prev = [], 0
+        for c in list(cuts) + [n]:
+            if c > prev:
+                chunks.append(ids[prev:c])
+                prev = c
+        deltas = _drain(s, chunks)
+        assert "".join(deltas) == bytes(ids).decode("utf-8", errors="replace"), trial
+
+
 @pytest.mark.slow
 def test_mm_infer_stream_matches_mm_infer():
     from ufvideo_tpu.api import mm_infer, mm_infer_stream, model_init
@@ -114,7 +193,11 @@ def test_mm_infer_stream_matches_mm_infer():
         video, "What happens?", model, tok, max_new_tokens=8, chunk=3
     ))
     assert "".join(deltas).strip() == text
-    assert len(deltas) >= 2  # actually incremental
+    # (no delta-count assertion: the tiny byte tokenizer's random output is
+    # mostly invalid UTF-8, which the U+FFFD holdback correctly defers to
+    # the final flush; incrementality on VALID text is pinned by the
+    # TextDeltaStreamer unit tests above)
+    assert len(deltas) >= 1
 
     # spec_decode composes with streaming: same text again
     smodel, _, stok = model_init(None, cfg=tiny_config().replace(spec_decode=3))

@@ -22,7 +22,11 @@ import numpy as np
 
 from .configs import UFVideoConfig
 from .constants import DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN
-from .mm_utils import tokenizer_multimodal_token, trim_at_stop_strings
+from .mm_utils import (
+    TextDeltaStreamer,
+    tokenizer_multimodal_token,
+    trim_at_stop_strings,
+)
 from .models.generate import forward_hidden, greedy_generate
 from .models.sam2 import SAM2
 from .models.sam2.video import (
@@ -719,10 +723,14 @@ def mm_infer_stream(
         float(0.2 if temperature is None else temperature)
         if do_sample else 1.0
     )
-    stop_strings = list(kwargs.get("stop_strings") or [])
 
-    ids_acc: List[int] = []
-    text_prev = ""
+    # TextDeltaStreamer handles the two chunk-boundary hazards (a transient
+    # trailing U+FFFD from a split multi-byte char; a stop string spanning
+    # chunks) by holding back an unemitted tail — the joined deltas equal
+    # the one-shot decode exactly
+    streamer = TextDeltaStreamer(
+        tokenizer, kwargs.get("stop_strings") or []
+    )
     for ids_chunk, _hid in model.generate_stream(
         input_ids, video_feats, region_feats, region_counts,
         max_new_tokens=int(kwargs.get("max_new_tokens", 1024)),
@@ -732,31 +740,14 @@ def mm_infer_stream(
         top_p=float(kwargs.get("top_p", 0.9)),
         seed=int(kwargs.get("seed", 0)),
     ):
-        ids_acc.extend(ids_chunk)
-        text = tokenizer.decode(ids_acc, skip_special_tokens=True)
-        stopped = stop_strings and any(s in text for s in stop_strings)
-        if stopped:
-            text = trim_at_stop_strings(text, stop_strings)
-        if text.startswith(text_prev):
-            delta = text[len(text_prev):]
-            if delta:
-                yield delta
-            text_prev = text
-        # else: a partial UTF-8/BPE boundary made decode regress — hold the
-        # delta until the next chunk resolves it (final flush below)
+        delta, stopped = streamer.push(ids_chunk)
+        if delta:
+            yield delta
         if stopped:
             return
-    if not text_prev:
-        return
-    # final flush for a held partial-boundary tail
-    text = tokenizer.decode(ids_acc, skip_special_tokens=True)
-    if text != text_prev:
-        common = 0
-        for a, b in zip(text_prev, text):
-            if a != b:
-                break
-            common += 1
-        yield text[common:]
+    delta = streamer.finish()
+    if delta:
+        yield delta
 
 
 def mm_infer_batch(

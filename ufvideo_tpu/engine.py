@@ -51,7 +51,7 @@ import numpy as np
 
 from .api import UFVideoRuntime, _assemble_input_ids, _encode_video_input
 from .constants import DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN
-from .mm_utils import trim_at_stop_strings
+from .mm_utils import TextDeltaStreamer
 from .models.generate import decode_chunk, prefill_start
 from .models.qwen2 import make_kv_cache
 from .serve import ServeFuture, StreamFuture
@@ -74,12 +74,15 @@ class _EngineRequest:
 class _SlotState:
     """Host bookkeeping for one occupied slot."""
 
-    def __init__(self, req: _EngineRequest):
+    def __init__(self, req: _EngineRequest, tokenizer):
         self.req = req
-        self.ids: List[int] = []
-        self.text_prev = ""
+        # safe incremental text deltas: trailing-U+FFFD holdback + a
+        # stop-string reserve window (mm_utils.TextDeltaStreamer)
+        self.streamer = TextDeltaStreamer(
+            tokenizer, req.gen.get("stop_strings") or []
+        )
+        self.n_tokens = 0  # tokens consumed toward max_new
         self.max_new = int(req.gen.get("max_new_tokens", 1024))
-        self.stop_strings = list(req.gen.get("stop_strings") or [])
         self.finished = False
 
 
@@ -132,8 +135,12 @@ class StreamingEngine:
         self.stats_lock = threading.Lock()
         self._stats = {
             "requests": 0, "completed": 0, "errors": 0, "chunks": 0,
-            "admissions": 0,
+            "admissions": 0, "spec_drafted": 0, "spec_accepted": 0,
         }
+        # host copy of the per-slot spec counters as of the LAST step; rows
+        # accumulate into the cumulative stats at retirement (the device
+        # rows reset on every admission, so live rows alone undercount)
+        self._slot_spec_counts = None
         self._lat: List[float] = []
 
         # persistent device state (built lazily on first admission so an
@@ -197,11 +204,20 @@ class StreamingEngine:
             lat = sorted(self._lat[-512:])
         s["active_slots"] = sum(sl is not None for sl in self._slots)
         s["pending"] = self._queue.qsize()
-        if self._spec_state is not None:
+        if self.spec_k:
+            # cumulative (retired requests) + the live slots' rows as of
+            # the last step (device rows reset on every admission)
+            live_d = live_a = 0
+            if self._slot_spec_counts is not None:
+                live_d = int(self._slot_spec_counts[0].sum())
+                live_a = int(self._slot_spec_counts[1].sum())
             s["spec"] = {
-                "drafted": int(np.asarray(self._spec_state[9]).sum()),
-                "accepted": int(np.asarray(self._spec_state[10]).sum()),
+                "drafted": s.pop("spec_drafted") + live_d,
+                "accepted": s.pop("spec_accepted") + live_a,
             }
+        else:
+            s.pop("spec_drafted", None)
+            s.pop("spec_accepted", None)
         if lat:
             s["latency_s"] = {
                 "p50": round(lat[len(lat) // 2], 4),
@@ -299,7 +315,7 @@ class StreamingEngine:
             self._cache = _copy_slot(self._cache, scratch, slot)
             self._cache_len[slot] = real_len
             self._cur[slot] = int(t0[0])
-        st = _SlotState(req)
+        st = _SlotState(req, self.tokenizer)
         self._slots[slot] = st
         self._done[slot] = False
         self._forced_done[slot] = False
@@ -331,46 +347,50 @@ class StreamingEngine:
         )
 
     def _emit(self, slot: int, new_ids: List[int]) -> None:
-        """Append tokens to a slot, stream the text delta, apply host-side
-        stop rules (eos is in-chunk; stop_strings and the budget here)."""
+        """Append tokens to a slot, stream the safe text delta, apply
+        host-side stop rules (eos is in-chunk; stop_strings and the budget
+        here)."""
         st = self._slots[slot]
-        take = min(len(new_ids), st.max_new - len(st.ids))
-        st.ids.extend(new_ids[:take])
-        eos_hit = self.model.ids.eos in st.ids[-take:] if take else False
-        text = self.tokenizer.decode(st.ids, skip_special_tokens=True)
-        stopped = st.stop_strings and any(
-            k in text for k in st.stop_strings
-        )
-        if stopped:
-            text = trim_at_stop_strings(text, st.stop_strings)
+        take = min(len(new_ids), st.max_new - st.n_tokens)
+        taken = new_ids[:take]
+        st.n_tokens += take
+        eos_hit = self.model.ids.eos in taken
+        delta, stopped = st.streamer.push(taken)
         if st.req.stream:
             if st.req.future.cancelled:
                 self._retire(slot)
                 return
-            if text.startswith(st.text_prev):
-                delta = text[len(st.text_prev):]
-                if delta:
-                    st.req.future.push(delta)
-                st.text_prev = text
-        else:
-            st.text_prev = text
-        if stopped or eos_hit or len(st.ids) >= st.max_new:
+            if delta:
+                st.req.future.push(delta)
+        if stopped or eos_hit or st.n_tokens >= st.max_new:
             self._retire(slot)
 
     def _retire(self, slot: int) -> None:
         st = self._slots[slot]
         st.finished = True
         try:
+            final = st.streamer.finish()  # flush the held tail
             if st.req.stream:
+                if final and not st.req.future.cancelled:
+                    st.req.future.push(final)
                 st.req.future.finish()
             else:
-                text = st.text_prev.strip()
                 st.req.future.set_result(
-                    (text, {"output": list(st.ids), "pred_masks": []})
+                    (st.streamer.text().strip(),
+                     {"output": st.streamer.ids, "pred_masks": []})
                 )
         finally:
             with self.stats_lock:
                 self._stats["completed"] += 1
+                if self._slot_spec_counts is not None:
+                    self._stats["spec_drafted"] += int(
+                        self._slot_spec_counts[0][slot]
+                    )
+                    self._stats["spec_accepted"] += int(
+                        self._slot_spec_counts[1][slot]
+                    )
+                    self._slot_spec_counts[0][slot] = 0
+                    self._slot_spec_counts[1][slot] = 0
                 self._lat.append(time.perf_counter() - st.req.t_enqueue)
                 if len(self._lat) > 2048:
                     del self._lat[:1024]
@@ -406,13 +426,16 @@ class StreamingEngine:
             tokens = np.asarray(self._spec_state[1])
             gen_lens = np.asarray(self._spec_state[7])
             self._done = np.array(self._spec_state[6])
+            self._slot_spec_counts = (
+                np.array(self._spec_state[9]), np.array(self._spec_state[10])
+            )
             with self.stats_lock:
                 self._stats["chunks"] += 1
             for slot, st in enumerate(self._slots):
                 if st is None:
                     continue
                 new = int(gen_lens[slot])
-                prev = len(st.ids)
+                prev = st.n_tokens
                 if new > prev:
                     self._emit(slot, tokens[slot, prev:new].tolist())
                 if self._slots[slot] is not None and self._done[slot]:
@@ -485,4 +508,32 @@ class StreamingEngine:
                 if not admitted:
                     time.sleep(0.005)
                 continue
-            self._step()
+            try:
+                self._step()
+            except Exception as e:  # noqa: BLE001 — delivered to callers
+                # a failed decode dispatch must not kill the worker (which
+                # would hang every active and queued request forever): fail
+                # the in-flight requests, reset the device state (free-slot
+                # rows are rebuilt on the next admission), keep serving
+                self._fail_active(e)
+
+    def _fail_active(self, exc: BaseException) -> None:
+        with self.stats_lock:
+            self._stats["errors"] += sum(
+                s is not None for s in self._slots
+            )
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            try:
+                if st.req.stream:
+                    st.req.future.finish(exc)
+                else:
+                    st.req.future.set_exception(exc)
+            finally:
+                self._slots[slot] = None
+        self._done[:] = True
+        self._forced_done[:] = False
+        self._cache = None
+        self._spec_state = None
+        self._slot_spec_counts = None

@@ -324,6 +324,81 @@ def trim_at_stop_strings(text: str, keywords: Sequence[str]) -> str:
     return text[:cut]
 
 
+class TextDeltaStreamer:
+    """Incremental token→text streaming with safe delta emission.
+
+    Cumulative ``tokenizer.decode`` is append-only EXCEPT for two hazards
+    this class removes (both produced corrupted/truncated client streams
+    before it existed):
+
+    - a multi-byte character split across decode chunks decodes to a
+      transient trailing U+FFFD that the next chunk rewrites — trailing
+      replacement chars are held back, never emitted (the HF TextStreamer
+      rule);
+    - a stop string spanning a chunk boundary would stream its prefix
+      before the match completes — the last ``len(longest stop) - 1``
+      chars are reserved, so a stop can only ever start inside unemitted
+      text (proof: an emitted char at position q was ≥ reserve+1 chars
+      before the then-text-end, but an incomplete stop needs
+      q + len(stop) > len(text), i.e. q > len(text) - reserve - 1).
+
+    ``push(ids) -> (delta, stopped)`` per chunk; ``finish() -> delta``
+    flushes the held tail at end of generation. ``"".join(all deltas)``
+    equals the one-shot decode (stop-trimmed) exactly."""
+
+    def __init__(self, tokenizer, stop_strings: Sequence[str] = ()):
+        self._tok = tokenizer
+        self._stops = [s for s in (stop_strings or []) if s]
+        self._reserve = max((len(s) for s in self._stops), default=1) - 1
+        self._ids: list = []
+        self._sent = 0  # chars already emitted
+        self.stopped = False
+
+    def _decode(self) -> str:
+        return self._tok.decode(self._ids, skip_special_tokens=True)
+
+    def push(self, new_ids: Sequence[int]):
+        self._ids.extend(int(i) for i in new_ids)
+        text = self._decode()
+        if self._stops and any(s in text for s in self._stops):
+            text = trim_at_stop_strings(text, self._stops)
+            self.stopped = True
+            delta = text[self._sent:]
+            self._sent = len(text)
+            return delta, True
+        end = len(text)
+        while end > 0 and text[end - 1] == "�":
+            end -= 1
+        safe = max(self._sent, min(end, len(text) - self._reserve))
+        delta = text[self._sent:safe]
+        self._sent = safe
+        return delta, False
+
+    def finish(self) -> str:
+        """Flush the held tail (a trailing U+FFFD from generation genuinely
+        ending mid-character is emitted here — it is what the one-shot
+        decode contains too)."""
+        text = self._decode()
+        if self._stops and any(s in text for s in self._stops):
+            text = trim_at_stop_strings(text, self._stops)
+            self.stopped = True
+        delta = text[self._sent:]
+        self._sent = len(text)
+        return delta
+
+    def text(self) -> str:
+        """Current full (stop-trimmed) text."""
+        text = self._decode()
+        if self._stops and any(s in text for s in self._stops):
+            text = trim_at_stop_strings(text, self._stops)
+        return text
+
+    @property
+    def ids(self) -> list:
+        """All token ids pushed so far."""
+        return list(self._ids)
+
+
 def get_model_name_from_path(model_path: str) -> str:
     model_path = model_path.strip("/")
     parts = model_path.split("/")
