@@ -533,6 +533,15 @@ RECORDED = {
     "prefill": ("qwen2_7b_prefill_tokens_per_sec", 12227.0, "tokens/s/chip"),
     "e2e": ("pixrqa_e2e_videos_per_sec", 0.73, "videos/s/chip"),
     "e2e_batch": ("pixrqa_e2e_videos_per_sec_batch8", 1.20, "videos/s/chip"),
+    # serving stack, measured live 2026-08-18 (scripts/bench_seq.py log)
+    "decode_int8_spec_best": (
+        "qwen2_7b_decode_int8_spec4_best_tokens_per_sec", 248.37,
+        "tokens/s/chip"),
+    "decode_int8_spec_worst": (
+        "qwen2_7b_decode_int8_spec4_worst_tokens_per_sec", 90.09,
+        "tokens/s/chip"),
+    "decode_int8_kvq8": (
+        "qwen2_7b_decode_int8_kvq8_tokens_per_sec", 91.93, "tokens/s/chip"),
 }
 
 # Modes the driver line re-measures live, highest-value-per-cost first, with
@@ -541,10 +550,15 @@ RECORDED = {
 # must appear here so a budget miss degrades to a stale-flagged fallback
 # rather than silently dropping the metric from the round record.
 DRIVER_EXTRA_MODES = (
-    # (mode key, est. seconds incl. compile)
+    # (mode key, est. seconds incl. compile) — estimates are cold-compile
+    # conservative; observed warm runs 2026-08-18: decode_int8_kvq8 145 s,
+    # spec_best 130 s, spec_worst 70 s
     ("decode_int8", 600),
+    ("decode_int8_spec_best", 400),
+    ("decode_int8_spec_worst", 300),
     ("vit_encode", 600),
     ("sam_encode", 1100),
+    ("decode_int8_kvq8", 400),
     ("e2e", 1600),
     ("prefill", 500),
     ("e2e_batch", 1900),
