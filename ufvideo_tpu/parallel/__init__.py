@@ -10,6 +10,10 @@ from .mesh import (  # noqa: F401
     sharding,
     single_device_mesh,
 )
+from .pipeline import (  # noqa: F401
+    pipeline_apply,
+    pipeline_backbone,
+)
 from .partition import (  # noqa: F401
     DEFAULT_RULES,
     QWEN2_RULES,
