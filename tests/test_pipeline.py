@@ -15,8 +15,6 @@ from ufvideo_tpu.configs import Qwen2Config
 from ufvideo_tpu.models.qwen2 import Qwen2LM
 from ufvideo_tpu.parallel.pipeline import pipeline_apply, pipeline_backbone
 
-pytestmark = pytest.mark.smoke
-
 TINY = Qwen2Config(
     vocab_size=256, hidden_size=32, num_layers=4, num_heads=4,
     num_kv_heads=2, head_dim=8, intermediate_size=64,
@@ -45,6 +43,7 @@ def _dense_hidden(model, params, embeds, positions, seq_lens):
     return hidden
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("pipe,m", [(2, 4), (4, 8), (1, 2)])
 def test_pipeline_backbone_matches_dense(pipe, m):
     model, params = _model_and_params()
@@ -125,6 +124,7 @@ def test_pipeline_gradients_match_dense(remat):
         )
 
 
+@pytest.mark.smoke
 def test_pipeline_apply_layer_count_validation():
     mesh = _mesh(4)
     with pytest.raises(ValueError, match="not divisible"):
