@@ -125,6 +125,41 @@ def test_pipeline_gradients_match_dense(remat):
 
 
 @pytest.mark.smoke
+def test_qwen2lm_pp_option_matches_dense():
+    """Qwen2LM(pp=...) — the in-model wiring — must reproduce the dense
+    model's logits and gradients on the same params."""
+    model, params = _model_and_params()
+    mesh = _mesh(2, 2)
+    pp_model = Qwen2LM(
+        TINY, dtype=jnp.float32, param_dtype=jnp.float32,
+        pp=(mesh, "pipe", 2, "data"),
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(5), (4, 10), 3, TINY.vocab_size)
+
+    dense = np.asarray(model.apply({"params": params}, ids))
+    pp = np.asarray(pp_model.apply({"params": params}, ids))
+    np.testing.assert_allclose(pp, dense, rtol=2e-5, atol=1e-5)
+
+    tgt = jax.random.randint(jax.random.PRNGKey(6), (4, 10), 0, TINY.vocab_size)
+
+    def loss(m):
+        def f(p):
+            lg = m.apply({"params": p}, ids)
+            lp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+        return f
+
+    ld, gd = jax.jit(jax.value_and_grad(loss(model)))(params)
+    lp_, gp = jax.jit(jax.value_and_grad(loss(pp_model)))(params)
+    np.testing.assert_allclose(float(lp_), float(ld), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(gd), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-4, atol=1e-6
+        )
+
+
+@pytest.mark.smoke
 def test_pipeline_apply_layer_count_validation():
     mesh = _mesh(4)
     with pytest.raises(ValueError, match="not divisible"):

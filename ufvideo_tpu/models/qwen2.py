@@ -400,6 +400,13 @@ class Qwen2LM(nn.Module):
     quant: Any = False  # False | True/'int8' | 'int4' (ufvideo_tpu.quant)
     ring: Optional[Tuple] = None  # (mesh, seq_axis, batch_axis) — see layer
     lora_term: Optional[Tuple[float, float]] = None  # (scale, dropout) — see layer
+    # pipeline parallelism: (mesh, pipe_axis, num_microbatches, data_axis or
+    # None) — the train-mode backbone runs as a GPipe fill-drain pipeline
+    # over mesh[pipe_axis] (parallel/pipeline.py): the scan-stacked layer
+    # params shard over stages, microbatched activations flow via ppermute.
+    # Train path only (decode/prefill/verify and LoRA stay on the dense
+    # scan); results equal the dense scan to float epsilon, grads included.
+    pp: Optional[Tuple] = None
 
     def setup(self):
         cfg = self.cfg
@@ -450,9 +457,67 @@ class Qwen2LM(nn.Module):
                     lora=None):
         cfg = self.cfg
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        if (
+            self.pp is not None
+            and mode == "train"
+            and cache is None
+            and lora is None
+            and not self.is_initializing()
+        ):
+            x = self._run_layers_pipelined(x, cos, sin, seq_lens, cache_len)
+            return self.norm(x), None
         carry = (x, cos, sin, seq_lens, cache_len)
         carry, new_cache = self.layers(carry, cache, lora, mode)
         return self.norm(carry[0]), new_cache
+
+    def _run_layers_pipelined(self, x, cos, sin, seq_lens, cache_len):
+        """Train-mode layer stack as a pipeline over ``self.pp``'s mesh.
+
+        Reads the scanned stack's own (layer-stacked) params and re-applies
+        them through a standalone ``Qwen2DecoderLayer`` inside
+        ``pipeline_apply`` — the same math, re-scheduled; gradients flow
+        through the read."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.pipeline import pipeline_apply
+
+        mesh, pipe_axis, n_mb, data_axis = self.pp
+        b = x.shape[0]
+        if b % n_mb != 0:
+            raise ValueError(f"batch {b} not divisible by microbatches {n_mb}")
+        to_mb = lambda a: a.reshape((n_mb, b // n_mb) + a.shape[1:])
+        carries = (
+            to_mb(x), to_mb(cos), to_mb(sin), to_mb(seq_lens),
+            to_mb(cache_len),
+        )
+        carry_spec = (
+            P(data_axis, None, None),
+            P(data_axis, None, None),
+            P(data_axis, None, None),
+            P(data_axis),
+            P(data_axis),
+        )
+        # parent=None: functional use — this template is applied with the
+        # scanned stack's own params, never registered as a submodule
+        layer = Qwen2DecoderLayer(
+            self.cfg, self.dtype, self.param_dtype, self.quant, parent=None
+        )
+
+        def layer_fn(layer_params, carry):
+            return layer.apply(
+                {"params": layer_params}, carry, None, None, "train"
+            )[0]
+
+        out = pipeline_apply(
+            layer_fn,
+            self.layers.variables["params"],
+            carries,
+            mesh,
+            pipe_axis=pipe_axis,
+            carry_spec=carry_spec,
+            remat=self.cfg.remat,
+        )
+        return out[0].reshape(x.shape)
 
     def backbone(
         self,

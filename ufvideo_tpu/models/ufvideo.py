@@ -56,11 +56,15 @@ class UFVideoModel:
     through explicit pure functions so prefill/decode/training can compose
     them freely under jit."""
 
-    def __init__(self, cfg: UFVideoConfig, ring=None, lora_term=None):
+    def __init__(self, cfg: UFVideoConfig, ring=None, lora_term=None,
+                 pp=None):
         """``ring``: optional (mesh, seq_axis, batch_axis) enabling
         sequence-parallel (ring) attention in the LLM's train path.
         ``lora_term``: optional (scale, dropout) enabling forward-term LoRA
-        in the LLM (train/lora.py; needed for PEFT-exact lora_dropout)."""
+        in the LLM (train/lora.py; needed for PEFT-exact lora_dropout).
+        ``pp``: optional (mesh, pipe_axis, num_microbatches, data_axis)
+        running the LLM's train-mode backbone as a GPipe pipeline over
+        mesh[pipe_axis] (parallel/pipeline.py)."""
         self.cfg = cfg
         self.ring = ring
         dt, pt = cfg.compute_dtype, cfg.param_dtype
@@ -69,7 +73,7 @@ class UFVideoModel:
         self.region = RegionProjector(cfg.region, dtype=dt, param_dtype=pt)
         self.llm = Qwen2LM(
             cfg.llm, dtype=dt, param_dtype=pt, quant=cfg.quant_llm, ring=ring,
-            lora_term=lora_term,
+            lora_term=lora_term, pp=pp,
         )
         self.text_fcs = TextHiddenFC(
             cfg.llm.hidden_size, cfg.sam_out_dim, dtype=dt, param_dtype=pt
