@@ -160,6 +160,19 @@ def test_qwen2lm_pp_option_matches_dense():
 
 
 @pytest.mark.smoke
+def test_pp_and_ring_are_mutually_exclusive():
+    """pp's standalone layer template carries no ring attention, so asking
+    for both must be an error, not a silent drop of sequence parallelism."""
+    mesh = _mesh(2, 2)
+    model = Qwen2LM(
+        TINY, dtype=jnp.float32, param_dtype=jnp.float32,
+        pp=(mesh, "pipe", 2, "data"), ring=(mesh, "data", None),
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+
+
+@pytest.mark.smoke
 def test_pipeline_apply_layer_count_validation():
     mesh = _mesh(4)
     with pytest.raises(ValueError, match="not divisible"):

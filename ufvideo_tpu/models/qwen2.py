@@ -410,6 +410,14 @@ class Qwen2LM(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        if self.pp is not None and self.ring is not None:
+            # the pipelined path rebuilds a standalone template layer
+            # WITHOUT ring, so combining them would silently drop the
+            # requested sequence parallelism — refuse instead
+            raise ValueError(
+                "pp and ring are mutually exclusive: the pipelined layer "
+                "template does not carry ring (sequence-parallel) attention"
+            )
         self.embed_tokens = nn.Embed(
             cfg.padded_vocab_size, cfg.hidden_size,
             dtype=self.dtype, param_dtype=self.param_dtype,
@@ -516,8 +524,9 @@ class Qwen2LM(nn.Module):
             pipe_axis=pipe_axis,
             carry_spec=carry_spec,
             remat=self.cfg.remat,
+            out_select=lambda c: c[0],
         )
-        return out[0].reshape(x.shape)
+        return out.reshape(x.shape)
 
     def backbone(
         self,

@@ -56,6 +56,8 @@ def pipeline_apply(
     pipe_axis: str = "pipe",
     carry_spec: Optional[Any] = None,
     remat: bool = False,
+    remat_policy: Any = "dots",
+    out_select: Optional[Callable[[Any], Any]] = None,
 ) -> Any:
     """Run every microbatch carry through all L layers, pipelined.
 
@@ -77,10 +79,22 @@ def pipeline_apply(
       remat: recompute each stage's local layer scan in the backward pass.
         Requires the caller to be under ``jax.jit`` (eager ``closed_call``
         inside shard_map is unsupported) — which a train step always is.
+      remat_policy: checkpoint policy for ``remat=True``. The default
+        ``"dots"`` maps to ``checkpoint_dots_with_no_batch_dims`` — matmul
+        results are saved and only elementwise work is recomputed, matching
+        the dense scan's ``nn.remat`` policy (models/qwen2.py) so pp+remat
+        costs the same MXU work as dense+remat. Pass ``None`` for full
+        recompute or any ``jax.checkpoint_policies`` member.
+      out_select: maps a carry pytree to the sub-pytree to retire into the
+        output buffers (default: the whole carry). Loop-invariant carry
+        legs (rope tables, seq_lens, ...) should be excluded — every
+        retired leaf is buffered across all M microbatches and
+        psum-replicated over the pipe axis at the end, so retiring a leg
+        nobody reads wastes output HBM and ICI bandwidth.
 
     Returns:
-      pytree like ``carries`` — each microbatch after all L layers,
-      replicated over the pipe axis.
+      ``out_select`` of a pytree like ``carries`` — each microbatch after
+      all L layers, replicated over the pipe axis.
     """
     p = mesh.shape[pipe_axis]
     num_layers = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -90,10 +104,13 @@ def pipeline_apply(
 
     if carry_spec is None:
         carry_spec = jax.tree.map(lambda _: P(), carries)
+    if out_select is None:
+        out_select = lambda c: c
     in_carry_specs = jax.tree.map(
         lambda s: _prepend_axis(s, None), carry_spec,
         is_leaf=lambda x: isinstance(x, P),
     )
+    out_specs = out_select(in_carry_specs)
     param_specs = jax.tree.map(lambda _: P(pipe_axis), stacked_params)
 
     def run_local_layers(local_params, carry):
@@ -103,7 +120,12 @@ def pipeline_apply(
         return jax.lax.scan(body, carry, local_params)[0]
 
     if remat:
-        run_local_layers = jax.checkpoint(run_local_layers)
+        policy = (
+            jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+            if remat_policy == "dots"
+            else remat_policy
+        )
+        run_local_layers = jax.checkpoint(run_local_layers, policy=policy)
 
     def stage_fn(local_params, carries):
         stage = jax.lax.axis_index(pipe_axis)
@@ -111,7 +133,7 @@ def pipeline_apply(
         h0 = jax.tree.map(
             lambda a: jnp.zeros(a.shape[1:], a.dtype), carries
         )
-        outs0 = jax.tree.map(jnp.zeros_like, carries)
+        outs0 = jax.tree.map(jnp.zeros_like, out_select(carries))
 
         def tick(state, t):
             h, outs = state
@@ -143,7 +165,7 @@ def pipeline_apply(
                     0,
                 ),
                 outs,
-                h,
+                out_select(h),
             )
             h = jax.tree.map(
                 lambda a: jax.lax.ppermute(a, pipe_axis, fwd), h
@@ -159,11 +181,19 @@ def pipeline_apply(
             lambda a: jax.lax.psum(a, pipe_axis), outs
         )
 
+    # check_vma=False: the inject/retire jnp.where branches mix
+    # stage-varying (axis_index) and replicated operands, which VMA-typed
+    # shard_map rejects even though the psum at the end re-establishes
+    # replication. With tracking off, the correctness of the psum's
+    # TRANSPOSE under jax.grad (exact microbatch-accumulated gradients —
+    # this module's central claim) is guaranteed only by
+    # tests/test_pipeline.py's grad-parity tests; re-run them as the canary
+    # on any JAX upgrade.
     return jax.shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(param_specs, in_carry_specs),
-        out_specs=in_carry_specs,
+        out_specs=out_specs,
         check_vma=False,
     )(stacked_params, carries)
 
@@ -233,7 +263,10 @@ def pipeline_backbone(
         pipe_axis=pipe_axis,
         carry_spec=carry_spec,
         remat=remat,
+        # only the hidden states leave the pipeline; rope tables/seq_lens
+        # are loop-invariant and nobody reads them back
+        out_select=lambda c: c[0],
     )
-    x = out[0].reshape(b, s, -1)
+    x = out.reshape(b, s, -1)
     norm = RMSNorm(cfg.rms_norm_eps, dtype, param_dtype)
     return norm.apply({"params": params["norm"]}, x)
