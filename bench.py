@@ -8,11 +8,15 @@ benchmarks via argv:
     python bench.py [decode|decode_int8|decode_int8_kvq8|prefill|vit_encode|
                      sam_encode|projector|e2e|e2e_batch|e2e_batch16|all]
 
-The default (driver) invocation measures the headline decode live, then
-re-measures the extra modes LIVE cheapest-first inside a time budget
-(UFVIDEO_BENCH_BUDGET seconds, default 4200); only a mode whose compile+run
-estimate exceeds the remaining budget falls back to its last recorded value,
-explicitly flagged {"stale": true}. Note on the vit_encode baseline: 2000
+The default (driver) invocation is HANG-PROOF (round 3 lost its entire
+record to one hung remote compile, rc=124 with no output): every mode —
+headline included — runs in its own subprocess with a hard per-mode
+deadline, the cumulative record is flushed to BENCH_PARTIAL.json as each
+mode completes, and a SIGTERM/SIGINT/atexit handler prints the partial
+record as valid JSON if the driver is killed mid-suite. A mode that hangs,
+crashes, or doesn't fit the remaining time budget (UFVIDEO_BENCH_BUDGET
+seconds, default 4200) falls back to its last recorded value, explicitly
+flagged {"stale": true}. Note on the vit_encode baseline: 2000
 frames/s/chip for SigLIP-SO400M at 384² exceeds the v5e bf16 flop ceiling
 (576 GFLOP/frame ⇒ ~340 f/s at 100% MFU; see PERF.md).
 """
@@ -521,10 +525,11 @@ def bench_e2e(
 
 
 # Last numbers RECORDED from live `python bench.py <mode>` runs on this
-# round's chip. Used ONLY as a fallback when the driver's default invocation
-# runs out of its time budget before a mode can be re-measured — and then
-# each fallback value is explicitly flagged {"stale": true}. `python
-# bench.py all` prints the whole suite live.
+# round's chip. Used ONLY as a fallback when a mode hangs, crashes, or does
+# not fit the driver's remaining time budget — and then each fallback value
+# is explicitly flagged {"stale": true}. `python bench.py all` prints the
+# whole suite live.
+RECORDED_HEADLINE = ("qwen2_7b_decode_tokens_per_sec", 49.81, "tokens/s/chip")
 RECORDED = {
     # mode -> (metric name, value, unit)   [recorded round 3]
     "vit_encode": ("vit_encode_frames_per_sec", 239.1, "frames/s/chip"),
@@ -565,7 +570,35 @@ DRIVER_EXTRA_MODES = (
 )
 
 
+def _fake_mode_fns():
+    """UFVIDEO_BENCH_FAKE=1: instant stub measurements (no jax import) so the
+    driver's hang-proofing machinery is testable on CPU in seconds.
+    UFVIDEO_BENCH_FAKE_HANG=<mode>[,<mode>...] makes those stubs sleep
+    forever, simulating a hung remote compile."""
+    hang = set(
+        m for m in os.environ.get("UFVIDEO_BENCH_FAKE_HANG", "").split(",") if m
+    )
+    names = {m: rec[0] for m, rec in RECORDED.items()}
+    names["decode"] = RECORDED_HEADLINE[0]
+    names.setdefault("projector", "projector_clips_per_sec")
+
+    def make(mode):
+        def fn():
+            if mode in hang:
+                time.sleep(3600)
+            return names.get(mode, mode + "_fake"), 1.0, "fake/s"
+
+        return fn
+
+    modes = set(names) | {
+        "vit_encode", "sam_encode", "prefill", "e2e", "e2e_batch",
+    }
+    return {m: make(m) for m in modes}
+
+
 def _mode_fns():
+    if os.environ.get("UFVIDEO_BENCH_FAKE", "") == "1":
+        return _fake_mode_fns()
     return {
         "vit_encode": bench_vit_encode,
         "projector": bench_projector,
@@ -626,29 +659,155 @@ def _backend_reachable(deadline_s: float = 240.0) -> bool:
         return False
 
 
-def _emit_unreachable_record():
-    """Driver record when no device is reachable: every metric from
-    RECORDED, each explicitly stale — an honest, non-hanging round record."""
-    # headline contract is the bf16 decode metric (last live: 49.8, r2)
-    record = {
-        "metric": "qwen2_7b_decode_tokens_per_sec",
-        "value": 49.8,
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(49.8 / BASELINES["qwen2_7b_decode_tokens_per_sec"], 4)
-        if BASELINES.get("qwen2_7b_decode_tokens_per_sec") else None,
+def _stale_record() -> dict:
+    """Record skeleton with every metric at its RECORDED value, all stale —
+    the floor the driver improves on as live modes complete."""
+    metric, value, unit = RECORDED_HEADLINE
+    baseline = BASELINES.get(metric, 0.0)
+    return {
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 4) if baseline else None,
         "stale": True,
-        "backend_unreachable": True,
         "extra": {
             RECORDED[m][0]: {"value": RECORDED[m][1], "stale": True}
             for m in RECORDED
         },
     }
-    print(json.dumps(record))
+
+
+def _run_mode_subprocess(mode: str, deadline_s: float):
+    """Run ``python bench.py <mode>`` with a hard deadline; return the
+    (metric, value, unit) parsed from its last JSON stdout line.
+
+    The subprocess boundary is the hang-proofing: a stuck remote compile
+    (3-25 min observed; axon outages can pin a backend init for hours) dies
+    at the deadline instead of taking the whole driver record with it."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), mode]
+    if os.environ.get("UFVIDEO_BENCH_FAKE", "") == "1":
+        # fake modes are stdlib-only: skip site (the host sitecustomize
+        # imports jax, 2.5 s) so test deadlines measure the driver logic
+        cmd.insert(1, "-S")
+    r = subprocess.run(
+        cmd,
+        timeout=deadline_s,
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"{mode} rc={r.returncode}: {r.stderr[-500:]}")
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            return d["metric"], float(d["value"]), d.get("unit", "")
+        except (ValueError, KeyError):
+            continue
+    raise RuntimeError(f"{mode}: no JSON line in output")
+
+
+def _driver():
+    """Driver invocation: start from the all-stale record, upgrade each
+    metric in place as its bounded subprocess completes, and guarantee ONE
+    valid JSON line on stdout no matter how this process dies (short of
+    SIGKILL): normal completion prints it, and a SIGTERM/SIGINT/atexit
+    handler prints the partial record — live values for the modes that
+    finished, stale for the rest."""
+    import atexit
+    import signal
+
+    record = _stale_record()
+    partial_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"
+    )
+    state = {"emitted": False}
+
+    def emit(partial: bool) -> None:
+        if state["emitted"]:
+            return
+        state["emitted"] = True
+        if partial:
+            record["partial"] = True
+        print(json.dumps(record), flush=True)
+
+    def on_signal(signum, frame):
+        emit(partial=True)
+        # SystemExit propagates into subprocess.run's bare-except, killing
+        # the in-flight child before atexit finishes the shutdown
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+    atexit.register(lambda: emit(partial=True))
+
+    def checkpoint() -> None:
+        try:
+            with open(partial_path, "w") as f:
+                f.write(json.dumps(record) + "\n")
+        except OSError:
+            pass
+
+    fake = os.environ.get("UFVIDEO_BENCH_FAKE", "") == "1"
+    if not fake and not _backend_reachable():
+        record["backend_unreachable"] = True
+        emit(partial=False)
+        return
+
+    budget = float(os.environ.get("UFVIDEO_BENCH_BUDGET", 4200.0))
+    deadline_cap = float(os.environ.get("UFVIDEO_BENCH_DEADLINE", 1e9))
+    t_start = time.perf_counter()
+
+    def run_live(mode: str, est_seconds: float) -> bool:
+        """One bounded live measurement; returns True and upgrades the
+        record on success, leaves the stale entry (annotated) otherwise."""
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < est_seconds:
+            return False
+        deadline = min(est_seconds * 1.5, remaining, deadline_cap)
+        name_fallback = (
+            RECORDED_HEADLINE[0] if mode == "decode" else RECORDED[mode][0]
+        )
+        try:
+            metric, value, unit = _run_mode_subprocess(mode, deadline)
+        except Exception as e:
+            err = type(e).__name__
+            if mode == "decode":
+                record["headline_error"] = err
+            else:
+                record["extra"][name_fallback] = {
+                    "value": RECORDED[mode][1], "stale": True, "error": err,
+                }
+            checkpoint()
+            return False
+        if mode == "decode":
+            baseline = BASELINES.get(metric, 0.0)
+            record.update(
+                metric=metric,
+                value=round(value, 2),
+                vs_baseline=round(value / baseline, 4) if baseline else None,
+                unit=unit,
+            )
+            record.pop("stale", None)
+        else:
+            record["extra"][metric] = round(value, 2)
+        checkpoint()
+        return True
+
+    headline_est = float(os.environ.get("UFVIDEO_BENCH_HEADLINE_EST", 600.0))
+    run_live("decode", headline_est)
+    for mode, est_seconds in DRIVER_EXTRA_MODES:
+        run_live(mode, est_seconds)
+    emit(partial=False)
 
 
 def main():
     _maybe_enable_compile_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "driver"
+    if which == "driver":
+        _driver()
+        return
     fns = _mode_fns()
     if which == "all":
         for name, fn in fns.items():
@@ -659,50 +818,14 @@ def main():
                 print(json.dumps({"mode": name, "error": type(e).__name__}),
                       flush=True)
         return
-    if which != "driver":
-        metric, value, unit = fns[which]()
-        baseline = BASELINES.get(metric, 0.0)
-        print(json.dumps({
-            "metric": metric,
-            "value": round(float(value), 2),
-            "unit": unit,
-            "vs_baseline": round(float(value) / baseline, 4) if baseline else None,
-        }))
-        return
-
-    # Driver invocation: headline decode live, then re-measure the extras
-    # live inside the time budget (cheapest first); only a mode whose cost
-    # estimate exceeds the remaining budget falls back to its RECORDED
-    # value, flagged stale.
-    if not _backend_reachable():
-        _emit_unreachable_record()
-        return
-    budget = float(os.environ.get("UFVIDEO_BENCH_BUDGET", 4200.0))
-    t_start = time.perf_counter()
-    metric, value, unit = bench_decode()
+    metric, value, unit = fns[which]()
     baseline = BASELINES.get(metric, 0.0)
-    record = {
+    print(json.dumps({
         "metric": metric,
         "value": round(float(value), 2),
         "unit": unit,
         "vs_baseline": round(float(value) / baseline, 4) if baseline else None,
-    }
-    extra = {}
-    for mode, est_seconds in DRIVER_EXTRA_MODES:
-        remaining = budget - (time.perf_counter() - t_start)
-        if remaining < est_seconds:
-            name, val, _unit = RECORDED[mode]
-            extra[name] = {"value": val, "stale": True}
-            continue
-        try:
-            name, val, _unit = _mode_fns()[mode]()
-            extra[name] = round(float(val), 2)
-        except Exception as e:  # a failed extra must not kill the headline
-            name = RECORDED[mode][0]
-            extra[name] = {"value": RECORDED[mode][1], "stale": True,
-                           "error": type(e).__name__}
-    record["extra"] = extra
-    print(json.dumps(record))
+    }))
 
 
 if __name__ == "__main__":
