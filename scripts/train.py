@@ -52,13 +52,24 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ufvideo_tpu.parallel.mesh import create_mesh, maybe_initialize_distributed
+
+    # multi-host rendezvous FIRST (before anything touches jax.devices()):
+    # the torchrun --nnodes counterpart (train_1121v1.sh:106-111); see
+    # maybe_initialize_distributed for the env contract
+    maybe_initialize_distributed()
+
     from ufvideo_tpu.api import model_init
     from ufvideo_tpu.models.sam2 import SAM2
-    from ufvideo_tpu.parallel.mesh import create_mesh
     from ufvideo_tpu.train.data import Collator, SupervisedVideoDataset
     from ufvideo_tpu.train.prefetch import PrefetchLoader, device_prefetch
     from ufvideo_tpu.train.seg_step import SegBatch, make_seg_loss_fn
-    from ufvideo_tpu.train.trainer import TrainConfig, Trainer, build_sample_order
+    from ufvideo_tpu.train.trainer import (
+        TrainConfig,
+        Trainer,
+        build_sample_order,
+        shard_order_for_process,
+    )
 
     runtime, _, tokenizer = model_init(
         args.model_path or None,
@@ -101,13 +112,16 @@ def main():
     )
     collator = Collator(cfg, runtime.ids.region, runtime.ids.seg)
     order = build_sample_order(dataset, tc)
+    # each process decodes/collates only its slice of every global batch;
+    # the train step assembles the global device array across processes
+    order = shard_order_for_process(order, tc.global_batch_size)
     loader = PrefetchLoader(
         order,
         dataset.__getitem__,
         lambda samples: SegBatch(
             **{k: jnp.asarray(v) for k, v in collator(samples).items()}
         ),
-        batch_size=tc.global_batch_size,
+        batch_size=tc.global_batch_size // jax.process_count(),
         num_workers=args.num_workers,
     )
 

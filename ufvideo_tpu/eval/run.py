@@ -421,4 +421,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 if __name__ == "__main__":
+    # multi-host rank discovery (the reference's gloo init_process_group,
+    # inference_PixRQA.py:196): rank identity only, no collectives — each
+    # process then evaluates its get_chunk slice and writes per-rank files
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     run_benchmark(build_parser().parse_args())

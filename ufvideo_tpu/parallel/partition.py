@@ -45,6 +45,21 @@ VISION_RULES: Rules = (
 DEFAULT_RULES: Rules = QWEN2_RULES + VISION_RULES  # VISION_RULES ends in a catch-all
 
 
+class LeadingSpec(P):
+    """PartitionSpec that left-aligns against the param's dims instead of
+    the default right-align — used to shard the scan-stacked LAYER axis
+    (dim 0 of every ``llm/layers`` leaf) over a pipeline-stage mesh axis."""
+
+
+def pipeline_rules(pipe_axis: str = "pipe", rules: Rules = DEFAULT_RULES) -> Rules:
+    """Rules for pipeline-parallel training: every scan-stacked LLM layer
+    param shards its leading layer axis over ``pipe_axis`` — the exact
+    layout ``parallel.pipeline.pipeline_apply``'s shard_map consumes, so
+    no per-step resharding of the 7B layer stack happens. Non-layer params
+    (embeddings, lm_head, norms, towers) keep the base rules."""
+    return ((r".*llm/layers/.*", LeadingSpec(pipe_axis)),) + tuple(rules)
+
+
 def _spec_for(path: str, rules: Rules, ndim: int) -> P:
     for pattern, spec in rules:
         if re.fullmatch(pattern, path):
@@ -52,6 +67,8 @@ def _spec_for(path: str, rules: Rules, ndim: int) -> P:
             if not parts or len(parts) > ndim:
                 # replicated rule, or rule wider than the param → replicate
                 return P()
+            if isinstance(spec, LeadingSpec):
+                return P(*(parts + (None,) * (ndim - len(parts))))
             # right-align: scan-stacked params carry a leading layer axis
             # ([L, in, out]) that must stay unsharded
             return P(*((None,) * (ndim - len(parts)) + parts))

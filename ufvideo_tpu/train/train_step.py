@@ -209,10 +209,13 @@ def make_train_step(
     loss_fn=language_model_loss_fn,
     batch_spec: Optional[P] = None,
     trainable_mask=None,
+    rules=DEFAULT_RULES,
 ):
     """Build (init_fn, step_fn), both pjit'd over ``mesh``.
 
-    Params/opt-state shardings come from the partition rules; the batch is
+    Params/opt-state shardings come from the partition ``rules`` (pass
+    ``parallel.partition.pipeline_rules()`` for pipeline-parallel runs so
+    the stacked layer params shard over the pipe axis); the batch is
     sharded over the combined data axes (override with ``batch_spec`` —
     e.g. P('data') for sequence-parallel runs where the fsdp axis shards
     the sequence instead of the batch). Gradients are averaged across data
@@ -228,7 +231,15 @@ def make_train_step(
     def shard_state(state: TrainState) -> TrainState:
         # optimizer state (AdamW mu/nu) mirrors the param tree paths, so the
         # same path-regex rules shard it — the ZeRO-equivalent layout
-        sh = shardings_for(state, mesh, DEFAULT_RULES)
+        sh = shardings_for(state, mesh, rules)
+        if jax.process_count() > 1:
+            # process-local device arrays can't be device_put onto a
+            # cross-process sharding directly; go through host buffers
+            # (every process holds the same full state — same init seed /
+            # same restored checkpoint — so each contributes its shards)
+            import numpy as np
+
+            state = jax.tree.map(np.asarray, state)
         return jax.tree.map(jax.device_put, state, sh)
 
     spec = BATCH_SPEC if batch_spec is None else batch_spec
@@ -239,19 +250,36 @@ def make_train_step(
     dp_size = 1
     for a in axes:
         dp_size *= mesh.shape[a]
+    pcount = jax.process_count()
     step_inner = jax.jit(step, donate_argnums=(0,))
 
     def step_jit(state, batch):
         # shard the batch over the data axes (works for any Batch-like
         # NamedTuple — Batch, SegBatch, ...); replicate anything whose
-        # leading dim doesn't divide the data axes
+        # leading dim doesn't divide the data axes. In a multi-process
+        # runtime each process passes its LOCAL batch rows (1/pcount of the
+        # global batch, process-contiguous — see
+        # trainer.shard_order_for_process) and the global array is
+        # assembled across processes.
         def put(x):
-            sh = (
-                batch_sharding
-                if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp_size == 0
-                else replicated
+            if pcount == 1:
+                sh = (
+                    batch_sharding
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp_size == 0
+                    else replicated
+                )
+                return jax.device_put(x, sh)
+            import numpy as np
+
+            arr = np.asarray(x)
+            g0 = arr.shape[0] * pcount if arr.ndim >= 1 else 0
+            if arr.ndim >= 1 and g0 % dp_size == 0:
+                return jax.make_array_from_process_local_data(
+                    batch_sharding, arr, (g0,) + arr.shape[1:]
+                )
+            return jax.make_array_from_process_local_data(
+                replicated, arr, arr.shape
             )
-            return jax.device_put(x, sh)
 
         batch = jax.tree.map(put, batch)
         return step_inner(state, batch)

@@ -144,16 +144,18 @@ class Trainer:
                 for k in ("projector", "region")
                 if k in state.params
             }
-            save_params(path, adapters)
-            try:
-                from ..export import save_adapter_bins
+            save_params(path, adapters)  # collective: all processes write
+            if jax.process_index() == 0:
+                try:
+                    from ..export import save_adapter_bins
 
-                save_adapter_bins(path, adapters, self.cfg)
-            except ImportError:  # torch unavailable: orbax artifact only
-                pass
+                    save_adapter_bins(path, adapters, self.cfg)
+                except ImportError:  # torch unavailable: orbax artifact only
+                    pass
         else:
             save_params(path, state)
-        self._rotate()
+        if jax.process_index() == 0:
+            self._rotate()
 
     def export_hf(self, state: TrainState, path: str) -> None:
         """Write the final model as a reference-loadable HF-style checkpoint
@@ -185,7 +187,8 @@ class Trainer:
         max_steps: Optional[int] = None,
     ) -> TrainState:
         os.makedirs(self.tc.output_dir, exist_ok=True)
-        log = open(self._log_path, "a")
+        rank0 = jax.process_index() == 0
+        log = open(self._log_path, "a") if rank0 else None
         max_steps = max_steps or self.tc.total_steps
         t0 = time.time()
         with self.mesh:
@@ -194,7 +197,7 @@ class Trainer:
                     break
                 state, metrics = self.step_fn(state, batch)
                 step = int(state.step)
-                if step % self.tc.log_steps == 0:
+                if rank0 and step % self.tc.log_steps == 0:
                     rec = {
                         "step": step,
                         "time": round(time.time() - t0, 2),
@@ -204,8 +207,37 @@ class Trainer:
                     log.flush()
                 if step % self.tc.save_steps == 0:
                     self.save(state)
-        log.close()
+        if log is not None:
+            log.close()
         return state
+
+
+def shard_order_for_process(
+    order: Sequence[int],
+    global_batch_size: int,
+    process_id: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> List[int]:
+    """Per-process slice of a global sample order — the TPU counterpart of
+    the reference's DistributedSampler under torchrun DDP.
+
+    Every global batch of ``global_batch_size`` consecutive samples is split
+    process-contiguously: process p takes rows [p·local, (p+1)·local). This
+    matches how ``make_train_step`` assembles the global device array
+    (process-major mesh ordering → earlier global rows live on process 0's
+    devices), so the multi-process run consumes EXACTLY the batches the
+    single-process run would."""
+    pc = process_count if process_count is not None else jax.process_count()
+    pid = process_id if process_id is not None else jax.process_index()
+    if pc == 1:
+        return list(order)
+    if global_batch_size % pc != 0:
+        raise ValueError(f"global batch {global_batch_size} % {pc} processes")
+    local = global_batch_size // pc
+    out: List[int] = []
+    for i in range(0, len(order) - global_batch_size + 1, global_batch_size):
+        out.extend(order[i + pid * local : i + (pid + 1) * local])
+    return out
 
 
 def build_sample_order(
