@@ -40,6 +40,14 @@ def main():
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages: the LLM layer stack shards over a "
+                        "'pipe' mesh axis and the train backbone runs the "
+                        "GPipe schedule (parallel/pipeline.py); num_layers "
+                        "must be divisible by this")
+    p.add_argument("--microbatches", type=int, default=0,
+                   help="pipeline microbatches (default: 2x pipeline stages; "
+                        "per-step batch must be divisible by it)")
     p.add_argument("--num-workers", type=int, default=2)
     p.add_argument("--no-gradient-checkpointing", action="store_true",
                    help="disable per-layer remat (the reference trains WITH "
@@ -100,10 +108,33 @@ def main():
         seed=args.seed,
     )
 
-    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp, pp=args.pp)
     sam = SAM2(cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype)
+    model = runtime.model
+    rules = None
+    if args.pp > 1:
+        # pipeline-parallel training: rebuild the orchestrator with the
+        # GPipe backbone (same param tree — pp is a re-schedule) and shard
+        # the stacked layer params over the pipe axis
+        from ufvideo_tpu.models.ufvideo import UFVideoModel
+        from ufvideo_tpu.parallel.partition import pipeline_rules
+
+        n_mb = args.microbatches or 2 * args.pp
+        if tc.global_batch_size % n_mb != 0:
+            raise SystemExit(
+                f"--global-batch-size {tc.global_batch_size} must be "
+                f"divisible by --microbatches {n_mb}"
+            )
+        dp_total = mesh.shape["data"] * mesh.shape["fsdp"]
+        if (tc.global_batch_size // n_mb) % dp_total != 0:
+            raise SystemExit(
+                f"per-microbatch rows {tc.global_batch_size // n_mb} must "
+                f"divide the data axes (data*fsdp = {dp_total})"
+            )
+        model = UFVideoModel(cfg, pp=(mesh, "pipe", n_mb, ("data", "fsdp")))
+        rules = pipeline_rules()
     trainer = Trainer(
-        runtime.model, cfg, tc, mesh=mesh, loss_fn=make_seg_loss_fn(sam)
+        model, cfg, tc, mesh=mesh, loss_fn=make_seg_loss_fn(sam), rules=rules
     )
 
     dataset = SupervisedVideoDataset(

@@ -57,11 +57,16 @@ class Trainer:
         train_cfg: TrainConfig,
         mesh=None,
         loss_fn=None,
+        rules=None,
     ):
+        """``rules``: partition rules override — pass
+        ``parallel.partition.pipeline_rules()`` for pipeline-parallel runs
+        (stacked LLM layer params shard over the mesh's pipe axis)."""
         self.model = model
         self.cfg = cfg
         self.tc = train_cfg
         self.mesh = mesh or create_mesh()
+        self.rules = rules
         self.optimizer = make_optimizer(
             train_cfg.learning_rate,
             warmup_ratio=train_cfg.warmup_ratio,
@@ -89,6 +94,8 @@ class Trainer:
             opt = with_frozen(opt, mask)
         self._opt = opt
         kwargs = {} if self._loss_fn is None else {"loss_fn": self._loss_fn}
+        if self.rules is not None:
+            kwargs["rules"] = self.rules
         self.init_fn, self.step_fn, self.shard_state = make_train_step(
             self.model, opt, self.mesh, trainable_mask=mask, **kwargs
         )
