@@ -110,7 +110,10 @@ def _random_params(shapes, scale=0.02):
     return jax.tree.unflatten(treedef, vals)
 
 
-def bench_vit_encode(batch: int = 64):
+def bench_vit_encode(batch: int = 64, quant: bool = False):
+    """SigLIP-SO400M encode. ``quant``: W8A8 int8 encoder — the dense
+    matmuls (the tower's flop majority) run s8×s8→s32 on the MXU at 2× the
+    bf16 peak, raising the ~340 f/s bf16 flop ceiling (PERF.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -118,7 +121,9 @@ def bench_vit_encode(batch: int = 64):
     from ufvideo_tpu.models.siglip import SiglipVisionTower
 
     cfg = SiglipVisionConfig()
-    model = SiglipVisionTower(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = SiglipVisionTower(
+        cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, quant=quant
+    )
     shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(0),
@@ -135,7 +140,8 @@ def bench_vit_encode(batch: int = 64):
         lambda p, x: model.apply({"params": p}, x), params, frames
     )
     fps = batch / dt
-    return "vit_encode_frames_per_sec", fps, "frames/s/chip"
+    name = "vit_encode_int8" if quant else "vit_encode"
+    return name + "_frames_per_sec", fps, "frames/s/chip"
 
 
 def bench_projector(batch: int = 4, frames: int = 32):
@@ -601,6 +607,7 @@ def _mode_fns():
         return _fake_mode_fns()
     return {
         "vit_encode": bench_vit_encode,
+        "vit_encode_int8": lambda: bench_vit_encode(quant=True),
         "projector": bench_projector,
         "decode": bench_decode,
         "decode_int8": lambda: bench_decode(quant=True),
@@ -625,15 +632,25 @@ def _mode_fns():
 
 
 def _maybe_enable_compile_cache():
-    """Env-gated persistent compilation cache (UFVIDEO_JAX_CACHE=<dir>).
+    """Persistent compilation cache, ON by default (UFVIDEO_JAX_CACHE=off
+    to disable, =<dir> to relocate; default <repo>/.jax_cache).
 
-    Remote TPU compiles cost 3-25 min per jit variant on the axon tunnel;
-    if this backend supports executable serialization, a persistent cache
-    makes repeat bench runs near-instant to warm up. Opt-in until verified
-    on-chip (the CPU test suite already uses the same mechanism)."""
+    Verified on the axon TPU 2026-08-19: executable serialization works —
+    the headline decode bench ran 821 s cold vs 350 s warm (the remaining
+    warm time is the measurement itself plus host weight generation). Every
+    driver mode subprocess inherits the env, so repeat rounds pay each jit
+    variant's 3-25 min remote compile once per code change, not once per
+    run (see PERF.md 'compile cache')."""
+    if os.environ.get("UFVIDEO_BENCH_FAKE", "") == "1":
+        return  # fake modes never touch jax (and run under python -S)
     cache_dir = os.environ.get("UFVIDEO_JAX_CACHE", "")
-    if not cache_dir:
+    if cache_dir.lower() == "off":
         return
+    if not cache_dir:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        os.environ["UFVIDEO_JAX_CACHE"] = cache_dir  # propagate to subprocesses
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)

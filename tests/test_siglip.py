@@ -62,3 +62,33 @@ def test_siglip_init_and_shape():
     assert out.shape == (3, TINY.num_patches, TINY.hidden_size)
     # scan-stacked layer params
     assert params["layers"]["mlp"]["fc1"]["kernel"].shape[0] == TINY.num_encode_layers
+
+
+def test_siglip_int8_w8a8_close_to_fp32():
+    """W8A8 tower on quantized params tracks the fp32 tower: the encoders
+    are where int8 raises the MXU ceiling (PERF.md), and this bounds the
+    numeric cost. Per-token activation scales + per-column weight scales
+    keep features within ~1% cosine of fp32 on random inputs."""
+    from ufvideo_tpu.quant import quantize_vision_params
+
+    model = SiglipVisionTower(TINY, dtype=jnp.float32, param_dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    px = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3), jnp.float32)
+    params = model.init(rng, px)["params"]
+    ref = np.asarray(model.apply({"params": params}, px), np.float32)
+
+    qparams = quantize_vision_params(params)
+    qmodel = SiglipVisionTower(
+        TINY, dtype=jnp.float32, param_dtype=jnp.float32, quant=True
+    )
+    out = np.asarray(qmodel.apply({"params": qparams}, px), np.float32)
+
+    assert out.shape == ref.shape
+    a = out.reshape(-1, TINY.hidden_size)
+    b = ref.reshape(-1, TINY.hidden_size)
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+    )
+    assert float(cos.min()) > 0.99, float(cos.min())
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 0.05, rel

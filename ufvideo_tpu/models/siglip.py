@@ -67,15 +67,62 @@ class SiglipMLP(nn.Module):
         )(x)
 
 
+class SiglipAttentionInt8(nn.Module):
+    """W8A8 projections around the bf16 Pallas attention kernel: the qkv
+    and out matmuls (the tower's flop majority) run s8×s8→s32 on the MXU;
+    the 72-lane attention contractions stay bf16 (their scores need the
+    range, and they are a minority of the flops)."""
+
+    cfg: SiglipVisionConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        from ..quant import W8A8Dense
+
+        qkv = W8A8Dense(
+            3 * cfg.hidden_size, dtype=self.dtype, name="qkv_proj"
+        )(x)
+        o = mha_full_attention_packed(qkv, cfg.num_heads, cfg.head_dim)
+        return W8A8Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(o)
+
+
+class SiglipMLPInt8(nn.Module):
+    cfg: SiglipVisionConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..quant import W8A8Dense
+
+        x = W8A8Dense(
+            self.cfg.intermediate_size, dtype=self.dtype, name="fc1"
+        )(x)
+        x = nn.gelu(x, approximate=True)
+        return W8A8Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(x)
+
+
 class SiglipEncoderLayer(nn.Module):
     cfg: SiglipVisionConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     ln_dtype: Any = jnp.float32  # norm compute dtype (bf16 = faster, looser)
+    quant: bool = False  # W8A8 int8 dense layers (see quant.W8A8Dense)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _) -> tuple:
         cfg = self.cfg
+        if self.quant:
+            ln = lambda name: nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                param_dtype=self.param_dtype, name=name,
+            )
+            h = ln("layer_norm1")(x).astype(self.dtype)
+            x = x + SiglipAttentionInt8(cfg, self.dtype, name="self_attn")(h)
+            h = ln("layer_norm2")(x).astype(self.dtype)
+            x = x + SiglipMLPInt8(cfg, self.dtype, name="mlp")(h)
+            return x, None
         if self.ln_dtype == jnp.float32:
             # whole-layer fused kernel (ops/hiera_block.py): one image =
             # one 729-token "window"; LN1 → qkv → attention → proj → LN2 →
@@ -136,6 +183,9 @@ class SiglipVisionTower(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     ln_dtype: Any = jnp.float32
+    # W8A8 int8 encoder (params from quant.quantize_vision_params): raises
+    # the compute ceiling ~2x on the MXU for this compute-bound tower
+    quant: bool = False
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -179,7 +229,8 @@ class SiglipVisionTower(nn.Module):
             split_rngs={"params": True},
             length=cfg.num_encode_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, self.dtype, self.param_dtype, self.ln_dtype, name="layers")
+        )(cfg, self.dtype, self.param_dtype, self.ln_dtype, self.quant,
+          name="layers")
         x, _ = layers(x, None)
         return x
 

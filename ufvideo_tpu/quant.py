@@ -1,4 +1,5 @@
-"""Int8 weight-only quantization for the LLM.
+"""Int8 quantization: weight-only for the LLM, weight+activation (W8A8)
+for the vision towers.
 
 TPU-native counterpart of the reference's optional bitsandbytes 4/8-bit load
 (reference: model/__init__.py:50-60, train.py:763-782): symmetric
@@ -6,12 +7,22 @@ per-output-channel int8 weights with fp32 scales. The dequant commutes with
 the matmul (per-column scale applies to the output), so kernels are read
 from HBM as int8 — halving decode's weight bandwidth — and the int8→bf16
 convert fuses into the dot.
+
+W8A8 (``W8A8Dense``) additionally quantizes the ACTIVATIONS per token, so
+the dot itself runs s8×s8→s32 on the MXU — 2× the bf16 MXU peak on v5e.
+That targets the compute-bound encoders (SigLIP runs at 70% of the bf16
+flop ceiling; int8 raises the ceiling), not the bandwidth-bound decode.
+Both scales are constant along the contraction axis (weight scale
+per-output-column, activation scale per-row), so the product folds into
+one elementwise rescale of the int32 accumulator — exact up to the
+quantization itself.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -79,21 +90,9 @@ def quantize_kernel4(w: jnp.ndarray, group: int = 64) -> Dict[str, jnp.ndarray]:
     }
 
 
-def quantize_qwen2_params(
-    params: Dict[str, Any], bits: int = 8, group: int = 64
-) -> Dict[str, Any]:
-    """Qwen2LM params → quantized layout consumed by
-    Qwen2LM(quant=True/'int4').
-
-    Every Dense kernel (attention projections, MLP, lm_head) is replaced by
-    kernel_q/kernel_scale; embeddings and norms stay bf16/fp32.
-    """
-    assert bits in (4, 8), bits
-
-    def qfn(w):
-        if bits == 8:
-            return quantize_kernel(w)
-        return quantize_kernel4(w, group)
+def _quantize_dense_tree(tree: Dict[str, Any], qfn) -> Dict[str, Any]:
+    """Replace every {'kernel': [..., in, out], ...} dict in the tree with
+    {'kernel_q', 'kernel_scale'} (bias kept); everything else unchanged."""
 
     def walk(tree):
         out = {}
@@ -111,7 +110,78 @@ def quantize_qwen2_params(
                 out[k] = v
         return out
 
+    return walk(tree)
+
+
+def quantize_qwen2_params(
+    params: Dict[str, Any], bits: int = 8, group: int = 64
+) -> Dict[str, Any]:
+    """Qwen2LM params → quantized layout consumed by
+    Qwen2LM(quant=True/'int4').
+
+    Every Dense kernel (attention projections, MLP, lm_head) is replaced by
+    kernel_q/kernel_scale; embeddings and norms stay bf16/fp32.
+    """
+    assert bits in (4, 8), bits
+
+    def qfn(w):
+        if bits == 8:
+            return quantize_kernel(w)
+        return quantize_kernel4(w, group)
+
     out = dict(params)
-    out["layers"] = walk(params["layers"])
-    out["lm_head"] = walk({"_": params["lm_head"]})["_"]
+    out["layers"] = _quantize_dense_tree(params["layers"], qfn)
+    out["lm_head"] = _quantize_dense_tree({"_": params["lm_head"]}, qfn)["_"]
     return out
+
+
+def quantize_vision_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Vision-tower params → the W8A8 layout consumed by
+    ``SiglipVisionTower(quant=True)`` / the Hiera int8 path: every encoder
+    Dense kernel becomes kernel_q/kernel_scale; patch embedding, position
+    embeddings and norm params stay in the float dtype (they are a
+    negligible share of both flops and bytes)."""
+    return _quantize_dense_tree(params, quantize_kernel)
+
+
+def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-row (per-token) symmetric int8 activation quantization:
+    [..., d] float → (int8 [..., d], f32 scales [..., 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale
+
+
+class W8A8Dense(nn.Module):
+    """Dense with int8 weights AND dynamically int8-quantized activations:
+    the dot runs s8×s8→s32 on the MXU (2× bf16 peak on v5e). For
+    compute-bound encoder towers; the LLM keeps weight-only int8 (decode is
+    bandwidth-bound, and W8A8 logits quality is not needed there)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        din = x.shape[-1]
+        q = self.param(
+            "kernel_q", nn.initializers.zeros, (din, self.features), jnp.int8
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,),
+            jnp.float32,
+        )
+        qx, xscale = quantize_rows(x)
+        y = jax.lax.dot_general(
+            qx, q, (((qx.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y.astype(jnp.float32) * xscale * scale).astype(self.dtype)
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.dtype
+            ).astype(self.dtype)
+        return y
