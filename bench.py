@@ -537,8 +537,11 @@ def bench_e2e(
 # whole suite live.
 RECORDED_HEADLINE = ("qwen2_7b_decode_tokens_per_sec", 49.81, "tokens/s/chip")
 RECORDED = {
-    # mode -> (metric name, value, unit)   [recorded round 3]
+    # mode -> (metric name, value, unit)   [recorded rounds 3-4]
     "vit_encode": ("vit_encode_frames_per_sec", 239.1, "frames/s/chip"),
+    # W8A8 int8 encoder, measured live 2026-08-19 (round 4)
+    "vit_encode_int8": (
+        "vit_encode_int8_frames_per_sec", 294.76, "frames/s/chip"),
     "sam_encode": ("sam2_encode_frames_per_sec", 47.84, "frames/s/chip"),
     "decode_int8": ("qwen2_7b_decode_int8_tokens_per_sec", 90.2, "tokens/s/chip"),
     "prefill": ("qwen2_7b_prefill_tokens_per_sec", 12227.0, "tokens/s/chip"),
@@ -568,6 +571,7 @@ DRIVER_EXTRA_MODES = (
     ("decode_int8_spec_best", 400),
     ("decode_int8_spec_worst", 300),
     ("vit_encode", 600),
+    ("vit_encode_int8", 600),
     ("sam_encode", 1100),
     ("decode_int8_kvq8", 400),
     ("e2e", 1600),
