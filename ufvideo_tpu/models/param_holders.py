@@ -48,6 +48,31 @@ class LayerNormParams(nn.Module):
         return s, b
 
 
+class QuantDenseParams(nn.Module):
+    """Same tree as quant.W8A8Dense: kernel_q int8 [in, out], kernel_scale
+    f32 [out], bias [out] (bias dtype = the layer's compute dtype, matching
+    W8A8Dense's declaration so fused and unfused int8 paths share params)."""
+
+    in_dim: int
+    out_dim: int
+    bias_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self):
+        q = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (self.in_dim, self.out_dim), jnp.int8,
+        )
+        s = self.param(
+            "kernel_scale", nn.initializers.ones, (self.out_dim,),
+            jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.out_dim,), self.bias_dtype
+        )
+        return q, s, b
+
+
 class AttnPairParams(nn.Module):
     """qkv + output-projection Dense pair under one scope (names are the
     child module names used by the unfused attention module)."""

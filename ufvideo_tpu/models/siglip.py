@@ -114,6 +114,59 @@ class SiglipEncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, _) -> tuple:
         cfg = self.cfg
         if self.quant:
+            import os
+
+            if (
+                jax.default_backend() == "tpu"
+                and os.environ.get("UFVIDEO_SIGLIP_INT8_FUSED", "1") == "1"
+            ):
+                # whole-layer W8A8 kernel: activations make one HBM
+                # round-trip, int8 weights VMEM-resident, quantize/rescale
+                # fused around the s8xs8->s32 dots (ops/hiera_block.py)
+                from .param_holders import QuantDenseParams
+
+                ln1 = LayerNormParams(
+                    cfg.hidden_size, self.param_dtype, name="layer_norm1"
+                )()
+                ln2 = LayerNormParams(
+                    cfg.hidden_size, self.param_dtype, name="layer_norm2"
+                )()
+
+                class _Pair(nn.Module):
+                    d: tuple  # ((in, out, name), (in, out, name))
+                    dtype: Any = jnp.bfloat16
+
+                    @nn.compact
+                    def __call__(self):
+                        out = []
+                        for din, dout, nm in self.d:
+                            out.extend(
+                                QuantDenseParams(din, dout, self.dtype, name=nm)()
+                            )
+                        return out
+
+                c, ims = cfg.hidden_size, cfg.intermediate_size
+                wq, sq, bq, wp, sp, bp = _Pair(
+                    (
+                        (c, 3 * c, "qkv_proj"),
+                        (c, c, "out_proj"),
+                    ),
+                    self.dtype, name="self_attn",
+                )()
+                w1, s1, b1, w2, s2, b2 = _Pair(
+                    ((c, ims, "fc1"), (ims, c, "fc2")), self.dtype, name="mlp"
+                )()
+                from ..ops.hiera_block import fused_block_w8a8
+
+                out = fused_block_w8a8(
+                    x.astype(self.dtype),
+                    (*ln1, wq, sq, bq, wp, sp, bp, *ln2,
+                     w1, s1, b1, w2, s2, b2),
+                    cfg.num_heads, cfg.head_dim,
+                    act="gelu_tanh", eps=cfg.layer_norm_eps,
+                )
+                return out, None
+
             ln = lambda name: nn.LayerNorm(
                 epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                 param_dtype=self.param_dtype, name=name,

@@ -1157,3 +1157,206 @@ def _bwd(num_heads, head_dim, head_pad, interpret, act, eps, align_qkv,
 
 
 fused_hiera_block.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 whole-block kernel: same block, int8 weights AND per-row int8-
+# quantized activations, so the four dense dots run s8×s8→s32 on the MXU
+# (1.22× the bf16 dot rate through XLA on v5e, PERF.md r4 — and here the
+# quantize runs on VMEM-resident values with the rescale fused into the
+# bias add, removing the XLA path's extra HBM traffic). Attention stays
+# bf16 (72-lane contractions, score range). Inference path of the frozen
+# towers — forward-only; the non-TPU fallback and the grad path (if ever
+# taken) go through the XLA reference below.
+# ---------------------------------------------------------------------------
+
+def _quant_rows_f32(x32):
+    """f32 [rows, d] → (int8 [rows, d], f32 scales [rows, 1])."""
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax * (1.0 / 127.0), 1e-8)
+    return jnp.round(x32 / s).astype(jnp.int8), s
+
+
+def _w8a8_body(x, refs, att_ref, *, num_heads, head_dim, tokens, gw, act,
+               eps):
+    """Whole pre-LN block on resident [rows, C] bf16 values; packed
+    (align=off) head layout only — SigLIP's measured-best configuration."""
+    (ln1_s_ref, ln1_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+     wproj_ref, sproj_ref, bproj_ref, ln2_s_ref, ln2_b_ref,
+     w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref) = refs
+    rows = x.shape[0]
+    hp = head_dim
+    hw = num_heads * hp
+    scale = head_dim ** -0.5
+    dtype = x.dtype
+
+    def qdot(q, xs, w_ref, s_ref, b_ref):
+        acc = jax.lax.dot_general(
+            q, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * xs * s_ref[0, :] + b_ref[0, :]
+
+    xn = _layernorm(x.astype(jnp.float32), ln1_s_ref[0, :], ln1_b_ref[0, :],
+                    eps)
+    q1, s1x = _quant_rows_f32(xn)
+    qkv = qdot(q1, s1x, wqkv_ref, sqkv_ref, bqkv_ref).astype(dtype)
+
+    grows = gw * tokens
+    if gw > 1:
+        win_r = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0) // tokens
+        win_c = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1) // tokens
+        same = win_r == win_c
+    for g in range(rows // grows):
+        sl = slice(g * grows, (g + 1) * grows)
+        for h in range(num_heads):
+            q = (
+                qkv[sl, h * hp : (h + 1) * hp].astype(jnp.float32)
+                * (scale * _LOG2E)
+            ).astype(dtype)
+            k = qkv[sl, hw + h * hp : hw + (h + 1) * hp]
+            v = qkv[sl, 2 * hw + h * hp : 2 * hw + (h + 1) * hp]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if gw > 1:
+                s = jnp.where(same, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2((s - m).astype(dtype))
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+            att_ref[sl, h * hp : (h + 1) * hp] = o.astype(dtype)
+
+    qa, sa = _quant_rows_f32(att_ref[...].astype(jnp.float32))
+    att = qdot(qa, sa, wproj_ref, sproj_ref, bproj_ref).astype(dtype)
+    x1 = x + att
+
+    xm = _layernorm(x1.astype(jnp.float32), ln2_s_ref[0, :], ln2_b_ref[0, :],
+                    eps)
+    qm, sm = _quant_rows_f32(xm)
+    hmid = _ACTS[act](qdot(qm, sm, w1_ref, s1_ref, b1_ref))
+    qh, sh = _quant_rows_f32(hmid)
+    mlp = qdot(qh, sh, w2_ref, s2_ref, b2_ref).astype(dtype)
+    return x1 + mlp
+
+
+def _w8a8_kernel(x_ref, *args, num_heads, head_dim, tokens, bw, gw, act,
+                 eps):
+    refs, (o_ref, att_ref) = args[:16], args[16:]
+    rows = bw * tokens
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])
+    out = _w8a8_body(
+        x, refs, att_ref, num_heads=num_heads, head_dim=head_dim,
+        tokens=tokens, gw=gw, act=act, eps=eps,
+    )
+    o_ref[...] = out.reshape(o_ref.shape)
+
+
+def w8a8_reference(x, params, num_heads, head_dim, act="gelu_tanh",
+                   eps=1e-6):
+    """XLA reference with the kernel's exact quantization points (per-row
+    int8 from the f32 LN outputs / f32 attention outputs / f32 GELU
+    outputs)."""
+    (ln1_s, ln1_b, wqkv, sqkv, bqkv, wproj, sproj, bproj, ln2_s, ln2_b,
+     w1, s1, b1, w2, s2, b2) = params
+    n, s, c = x.shape
+    hp = head_dim
+    dtype = x.dtype
+
+    def qdot(x32, w, ws, b):
+        q, xs = _quant_rows_f32(x32)
+        acc = jax.lax.dot_general(
+            q, w, (((q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            acc.astype(jnp.float32) * xs * ws.astype(jnp.float32)[None, :]
+            + b.astype(jnp.float32)[None, :]
+        )
+
+    xn = _layernorm(x.astype(jnp.float32), ln1_s, ln1_b, eps)
+    qkv = qdot(xn.reshape(n * s, c), wqkv, sqkv, bqkv).reshape(
+        n, s, -1
+    ).astype(dtype)
+    hw = num_heads * hp
+    qh = qkv[..., :hw].reshape(n, s, num_heads, hp)
+    kh = qkv[..., hw : 2 * hw].reshape(n, s, num_heads, hp)
+    vh = qkv[..., 2 * hw :].reshape(n, s, num_heads, hp)
+    logits = (
+        jnp.einsum("nqhd,nkhd->nhqk", qh, kh,
+                   preferred_element_type=jnp.float32)
+        * head_dim ** -0.5
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum(
+        "nhqk,nkhd->nqhd", probs.astype(dtype), vh,
+        preferred_element_type=jnp.float32,
+    ).reshape(n, s, hw)
+    att = qdot(o.reshape(n * s, hw), wproj, sproj, bproj).reshape(n, s, c)
+    x1 = x + att.astype(dtype)
+    xm = _layernorm(x1.astype(jnp.float32), ln2_s, ln2_b, eps)
+    h = _ACTS[act](qdot(xm.reshape(n * s, c), w1, s1, b1))
+    mlp = qdot(h, w2, s2, b2).reshape(n, s, c)
+    return x1 + mlp.astype(dtype)
+
+
+def fused_block_w8a8(
+    x: jnp.ndarray,  # [N, S, C] window-major tokens (SigLIP: one
+    #                   whole-sequence window per image)
+    params: tuple,  # (ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wproj_q, sproj,
+    #                 bproj, ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2)
+    num_heads: int,
+    head_dim: int,
+    interpret: bool = False,
+    act: str = "gelu_tanh",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """W8A8 whole-block kernel (packed heads, no q-pool, dim==dim_out)."""
+    n, s, c = x.shape
+    if not interpret and jax.default_backend() != "tpu":
+        return w8a8_reference(x, params, num_heads, head_dim, act, eps)
+    (ln1_s, ln1_b, wqkv, sqkv, bqkv, wproj, sproj, bproj, ln2_s, ln2_b,
+     w1, s1, b1, w2, s2, b2) = params
+    mlp_dim = w1.shape[1]
+    bw, gw = _pick_bw(n, s, num_heads)
+    kernel = functools.partial(
+        _w8a8_kernel, num_heads=num_heads, head_dim=head_dim, tokens=s,
+        bw=bw, gw=gw, act=act, eps=eps,
+    )
+    f32 = jnp.float32
+
+    def vec(a, dt=f32):
+        return a.reshape(1, -1).astype(dt)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
+            full((1, c)), full((1, c)),
+            full(wqkv.shape), full((1, wqkv.shape[1])), full((1, wqkv.shape[1])),
+            full(wproj.shape), full((1, c)), full((1, c)),
+            full((1, c)), full((1, c)),
+            full(w1.shape), full((1, mlp_dim)), full((1, mlp_dim)),
+            full(w2.shape), full((1, c)), full((1, c)),
+        ],
+        out_specs=pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bw * s, num_heads * head_dim), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        vec(ln1_s), vec(ln1_b),
+        wqkv, vec(sqkv), vec(bqkv),
+        wproj, vec(sproj), vec(bproj),
+        vec(ln2_s), vec(ln2_b),
+        w1, vec(s1), vec(b1),
+        w2, vec(s2), vec(b2),
+    )
