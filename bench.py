@@ -332,8 +332,9 @@ def bench_prefill(batch: int = 1, seq: int = 2048):
     return "qwen2_7b_prefill_tokens_per_sec", batch * seq / dt, "tokens/s/chip"
 
 
-def bench_sam_encode(frames: int = 8):
-    """SAM2 Hiera-L image-encoder throughput at 1024² (frames/s/chip)."""
+def bench_sam_encode(frames: int = 8, quant: bool = False):
+    """SAM2 Hiera-L image-encoder throughput at 1024² (frames/s/chip).
+    ``quant``: W8A8 int8 trunk (fused int8 whole-block kernel)."""
     import jax
     import jax.numpy as jnp
 
@@ -341,7 +342,7 @@ def bench_sam_encode(frames: int = 8):
     from ufvideo_tpu.models.sam2 import SAM2
 
     cfg = SAM2Config()
-    model = SAM2(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = SAM2(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, quant=quant)
     shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3), jnp.bfloat16)
@@ -357,7 +358,8 @@ def bench_sam_encode(frames: int = 8):
         return out["backbone_fpn"][2]
 
     dt = _timeit_device_loop(step, params, x, iters=4)
-    return "sam2_encode_frames_per_sec", frames / dt, "frames/s/chip"
+    name = "sam2_encode_int8" if quant else "sam2_encode"
+    return name + "_frames_per_sec", frames / dt, "frames/s/chip"
 
 
 def bench_e2e(
@@ -626,6 +628,7 @@ def _mode_fns():
         "decode_int8_spec_worst": lambda: bench_decode_spec(best=False),
         "prefill": bench_prefill,
         "sam_encode": bench_sam_encode,
+        "sam_encode_int8": lambda: bench_sam_encode(quant=True),
         "e2e": bench_e2e,
         "e2e_batch": lambda: bench_e2e(batch=8),
         "e2e_batch16": lambda: bench_e2e(batch=16, kv_quant=True),

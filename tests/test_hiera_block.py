@@ -486,3 +486,37 @@ def test_siglip_quant_fused_matches_xla_branch(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(xla), atol=5e-2, rtol=5e-2
     )
+
+
+def test_hiera_int8_w8a8_close_to_fp32():
+    """W8A8 Hiera trunk (fused int8 block for fusable windows, XLA W8A8 for
+    q-pool/global/dim-change blocks) tracks the fp32 trunk."""
+    from ufvideo_tpu.configs import tiny_config
+    from ufvideo_tpu.models.sam2.hiera import Hiera
+    from ufvideo_tpu.quant import _quantize_dense_tree, quantize_kernel
+
+    cfg = tiny_config().sam.hiera
+    model = Hiera(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    px = jax.random.normal(
+        jax.random.PRNGKey(1), (1, cfg.image_size, cfg.image_size, 3),
+        jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), px)["params"]
+    ref = model.apply({"params": params}, px)
+
+    qparams = {
+        k: (_quantize_dense_tree(v, quantize_kernel)
+            if k.startswith("blocks_") else v)
+        for k, v in params.items()
+    }
+    qmodel = Hiera(cfg, dtype=jnp.float32, param_dtype=jnp.float32, quant=True)
+    out = qmodel.apply({"params": qparams}, px)
+
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert a.shape == b.shape
+        af, bf = a.reshape(-1, a.shape[-1]), b.reshape(-1, b.shape[-1])
+        cos = np.sum(af * bf, -1) / (
+            np.linalg.norm(af, axis=-1) * np.linalg.norm(bf, axis=-1) + 1e-9
+        )
+        assert float(cos.min()) > 0.98, float(cos.min())

@@ -73,6 +73,30 @@ class QuantDenseParams(nn.Module):
         return q, s, b
 
 
+class QuantAttnPairParams(nn.Module):
+    """W8A8 analog of AttnPairParams: qkv + proj QuantDenseParams under one
+    scope, same child names as the unfused quant attention modules."""
+
+    dim: int
+    qkv_out: int
+    proj_in: int
+    bias_dtype: Any = jnp.bfloat16
+    qkv_name: str = "qkv"
+    proj_name: str = "proj"
+    proj_out: int = 0
+
+    @nn.compact
+    def __call__(self):
+        wq, sq, bq = QuantDenseParams(
+            self.dim, self.qkv_out, self.bias_dtype, name=self.qkv_name
+        )()
+        wp, sp, bp = QuantDenseParams(
+            self.proj_in, self.proj_out or self.dim, self.bias_dtype,
+            name=self.proj_name,
+        )()
+        return wq, sq, bq, wp, sp, bp
+
+
 class AttnPairParams(nn.Module):
     """qkv + output-projection Dense pair under one scope (names are the
     child module names used by the unfused attention module)."""

@@ -114,6 +114,7 @@ class MultiScaleAttention(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     head_pad: int = 0
+    quant: bool = False  # W8A8 int8 projections (quant.W8A8Dense)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [N, S, C]
@@ -122,10 +123,19 @@ class MultiScaleAttention(nn.Module):
         hp = self.head_pad or hd
         assert hp >= hd, (hp, hd)
         scale = hd ** -0.5
-        qkv = nn.Dense(
-            3 * self.num_heads * hp, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="qkv",
-        )(x)  # [N, S, 3*H*hp] — the fused kernel's native layout
+        if self.quant:
+            from ...quant import W8A8Dense
+
+            dense = lambda feats, name: W8A8Dense(
+                feats, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=name,
+            )
+        qkv = dense(3 * self.num_heads * hp, "qkv")(x)
+        # [N, S, 3*H*hp] — the fused kernel's native layout
 
         if self.q_stride is not None:
             # q pooled within each window (sam2.py:1021-1033); window sides
@@ -159,10 +169,7 @@ class MultiScaleAttention(nn.Module):
                 parts[:, :, 0], parts[:, :, 1], parts[:, :, 2], scale=scale
             )
             o = o.reshape(n, s, self.num_heads * hp)
-        return nn.Dense(
-            self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="proj",
-        )(o)
+        return dense(self.dim_out, "proj")(o)
 
 
 class MultiScaleBlock(nn.Module):
@@ -178,12 +185,48 @@ class MultiScaleBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     head_pad: int = 0
+    quant: bool = False  # W8A8 int8 dense layers (see quant.W8A8Dense)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [N, S, C]
         hidden = int(self.dim_out * self.mlp_ratio)
         if (
-            self.q_stride is None
+            self.quant
+            and self.q_stride is None
+            and self.dim == self.dim_out
+            and 0 < self.window_side ** 2 <= 512
+            and x.shape[1] == self.window_side ** 2
+        ):
+            # W8A8 whole-block kernel (same fused structure as the bf16
+            # path below; int8 weights + per-row activation quantize)
+            from ..param_holders import QuantAttnPairParams as _QAttnP
+            from ..param_holders import QuantDenseParams as _QDenseP
+
+            hd = self.dim_out // self.num_heads
+            hp = self.head_pad or hd
+            ln1 = _LNP(self.dim, self.param_dtype, name="norm1")()
+            wq, sq, bq, wp, sp, bp = _QAttnP(
+                self.dim, 3 * self.num_heads * hp, self.num_heads * hp,
+                self.dtype, name="attn",
+            )()
+            ln2 = _LNP(self.dim, self.param_dtype, name="norm2")()
+            w1, s1, b1 = _QDenseP(
+                self.dim, hidden, self.dtype, name="mlp_layers_0"
+            )()
+            w2, s2, b2 = _QDenseP(
+                hidden, self.dim, self.dtype, name="mlp_layers_1"
+            )()
+            from ...ops.hiera_block import fused_block_w8a8
+
+            return fused_block_w8a8(
+                x.astype(self.dtype),
+                (*ln1, wq, sq, bq, wp, sp, bp, *ln2, w1, s1, b1, w2, s2, b2),
+                self.num_heads, hd, self.head_pad,
+                act=_hiera_act(),
+            )
+        if (
+            not self.quant
+            and self.q_stride is None
             and self.dim == self.dim_out
             and 0 < self.window_side ** 2 <= 512
             and x.shape[1] == self.window_side ** 2
@@ -212,7 +255,9 @@ class MultiScaleBlock(nn.Module):
                 align_qkv=True,  # 42.0 -> 47.8 f/s for Hiera-L (PERF.md r3)
             )
 
-        if self.q_stride is not None or self.window_side == 0:
+        if not self.quant and (
+            self.q_stride is not None or self.window_side == 0
+        ):
             # q-pooling / global blocks (6 of Hiera-L's 48): the attention
             # stays in XLA / the flash kernel, but the LN1→qkv(+shortcut
             # proj) front and the proj→residual→LN2→MLP tail run as single
@@ -322,14 +367,22 @@ class MultiScaleBlock(nn.Module):
             epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
             name=name,
         )
+        if self.quant:
+            from ...quant import W8A8Dense
+
+            dense = lambda feats, name: W8A8Dense(
+                feats, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=name,
+            )
         shortcut = x
         xn = ln("norm1")(x).astype(self.dtype)
 
         if self.dim != self.dim_out:
-            proj = nn.Dense(
-                self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,
-                name="proj",
-            )(xn)
+            proj = dense(self.dim_out, "proj")(xn)
             if self.q_stride is not None:
                 sy, sx = self.q_stride
                 ws = self.window_side
@@ -343,20 +396,15 @@ class MultiScaleBlock(nn.Module):
 
         att = MultiScaleAttention(
             self.dim_out, self.num_heads, self.window_side, self.q_stride,
-            self.dtype, self.param_dtype, self.head_pad, name="attn",
+            self.dtype, self.param_dtype, self.head_pad, self.quant,
+            name="attn",
         )(xn)
 
         x = shortcut + att
         xn = ln("norm2")(x).astype(self.dtype)
-        m = nn.Dense(
-            hidden, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="mlp_layers_0",
-        )(xn)
+        m = dense(hidden, "mlp_layers_0")(xn)
         m = nn.gelu(m, approximate=False)
-        m = nn.Dense(
-            self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="mlp_layers_1",
-        )(m)
+        m = dense(self.dim_out, "mlp_layers_1")(m)
         return x + m
 
 
@@ -399,6 +447,9 @@ class Hiera(nn.Module):
     cfg: SAM2HieraConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # W8A8 int8 trunk (params from quant.quantize_vision_params): every
+    # block's dense projections run s8×s8→s32; attention stays bf16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -514,6 +565,7 @@ class Hiera(nn.Module):
 
             if (
                 stage_nb > 1
+                and not self.quant
                 and _stage_fusable(metas[i])
                 and window_size == side
                 and tokens is not None
@@ -574,6 +626,7 @@ class Hiera(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 head_pad=cfg.head_pad,
+                quant=self.quant,
                 name=f"blocks_{i}",
             )(blk_in)
 

@@ -53,11 +53,16 @@ class SAM2(nn.Module):
     cfg: SAM2Config
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # W8A8 int8 Hiera trunk (the encode hot path; memory/decoder heads stay
+    # in the float dtype — they are a tiny share of encode time)
+    quant: bool = False
 
     def setup(self):
         cfg = self.cfg
         dt, pt = self.dtype, self.param_dtype
-        self.trunk = Hiera(cfg.hiera, dt, pt, name="image_encoder_trunk")
+        self.trunk = Hiera(
+            cfg.hiera, dt, pt, quant=self.quant, name="image_encoder_trunk"
+        )
         self.neck = FpnNeck(cfg, dt, pt, name="image_encoder_neck")
         self.sam_prompt_encoder = PromptEncoder(cfg, dt, pt, name="sam_prompt_encoder")
         self.sam_mask_decoder = MaskDecoder(cfg, dt, pt, name="sam_mask_decoder")

@@ -1177,15 +1177,16 @@ def _quant_rows_f32(x32):
     return jnp.round(x32 / s).astype(jnp.int8), s
 
 
-def _w8a8_body(x, refs, att_ref, *, num_heads, head_dim, tokens, gw, act,
-               eps):
+def _w8a8_body(x, refs, att_ref, *, num_heads, head_dim, head_pad,
+               tokens, gw, act, eps):
     """Whole pre-LN block on resident [rows, C] bf16 values; packed
-    (align=off) head layout only — SigLIP's measured-best configuration."""
+    (align=off) head layout (slots of head_pad lanes when the converter
+    zero-pads heads, else head_dim)."""
     (ln1_s_ref, ln1_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
      wproj_ref, sproj_ref, bproj_ref, ln2_s_ref, ln2_b_ref,
      w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref) = refs
     rows = x.shape[0]
-    hp = head_dim
+    hp = head_pad or head_dim
     hw = num_heads * hp
     scale = head_dim ** -0.5
     dtype = x.dtype
@@ -1241,27 +1242,27 @@ def _w8a8_body(x, refs, att_ref, *, num_heads, head_dim, tokens, gw, act,
     return x1 + mlp
 
 
-def _w8a8_kernel(x_ref, *args, num_heads, head_dim, tokens, bw, gw, act,
-                 eps):
+def _w8a8_kernel(x_ref, *args, num_heads, head_dim, head_pad, tokens, bw,
+                 gw, act, eps):
     refs, (o_ref, att_ref) = args[:16], args[16:]
     rows = bw * tokens
     x = x_ref[...].reshape(rows, x_ref.shape[-1])
     out = _w8a8_body(
         x, refs, att_ref, num_heads=num_heads, head_dim=head_dim,
-        tokens=tokens, gw=gw, act=act, eps=eps,
+        head_pad=head_pad, tokens=tokens, gw=gw, act=act, eps=eps,
     )
     o_ref[...] = out.reshape(o_ref.shape)
 
 
 def w8a8_reference(x, params, num_heads, head_dim, act="gelu_tanh",
-                   eps=1e-6):
+                   eps=1e-6, head_pad=0):
     """XLA reference with the kernel's exact quantization points (per-row
     int8 from the f32 LN outputs / f32 attention outputs / f32 GELU
     outputs)."""
     (ln1_s, ln1_b, wqkv, sqkv, bqkv, wproj, sproj, bproj, ln2_s, ln2_b,
      w1, s1, b1, w2, s2, b2) = params
     n, s, c = x.shape
-    hp = head_dim
+    hp = head_pad or head_dim
     dtype = x.dtype
 
     def qdot(x32, w, ws, b):
@@ -1308,6 +1309,7 @@ def fused_block_w8a8(
     #                 bproj, ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2)
     num_heads: int,
     head_dim: int,
+    head_pad: int = 0,
     interpret: bool = False,
     act: str = "gelu_tanh",
     eps: float = 1e-6,
@@ -1315,14 +1317,16 @@ def fused_block_w8a8(
     """W8A8 whole-block kernel (packed heads, no q-pool, dim==dim_out)."""
     n, s, c = x.shape
     if not interpret and jax.default_backend() != "tpu":
-        return w8a8_reference(x, params, num_heads, head_dim, act, eps)
+        return w8a8_reference(
+            x, params, num_heads, head_dim, act, eps, head_pad
+        )
     (ln1_s, ln1_b, wqkv, sqkv, bqkv, wproj, sproj, bproj, ln2_s, ln2_b,
      w1, s1, b1, w2, s2, b2) = params
     mlp_dim = w1.shape[1]
     bw, gw = _pick_bw(n, s, num_heads)
     kernel = functools.partial(
-        _w8a8_kernel, num_heads=num_heads, head_dim=head_dim, tokens=s,
-        bw=bw, gw=gw, act=act, eps=eps,
+        _w8a8_kernel, num_heads=num_heads, head_dim=head_dim,
+        head_pad=head_pad, tokens=s, bw=bw, gw=gw, act=act, eps=eps,
     )
     f32 = jnp.float32
 
@@ -1345,7 +1349,9 @@ def fused_block_w8a8(
         out_specs=pl.BlockSpec((bw, s, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bw * s, num_heads * head_dim), x.dtype),
+            pltpu.VMEM(
+                (bw * s, num_heads * (head_pad or head_dim)), x.dtype
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20,

@@ -144,6 +144,19 @@ def quantize_vision_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return _quantize_dense_tree(params, quantize_kernel)
 
 
+def quantize_sam2_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """SAM2 params → the layout ``SAM2(quant=True)`` consumes: ONLY the
+    Hiera trunk blocks' dense kernels become W8A8 (the encode hot path);
+    patch embed, FPN neck convs, prompt/mask/memory heads stay float."""
+    out = dict(params)
+    trunk = dict(params["image_encoder_trunk"])
+    for k, v in trunk.items():
+        if k.startswith("blocks_"):
+            trunk[k] = _quantize_dense_tree(v, quantize_kernel)
+    out["image_encoder_trunk"] = trunk
+    return out
+
+
 def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dynamic per-row (per-token) symmetric int8 activation quantization:
     [..., d] float → (int8 [..., d], f32 scales [..., 1])."""
