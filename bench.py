@@ -582,6 +582,44 @@ DRIVER_EXTRA_MODES = (
 )
 
 
+def bench_serve_loadtest(
+    clients: int = 8, requests: int = 32, max_new: int = 64
+):
+    """Serving-core offered-load benchmark: drives scripts/loadtest.py
+    (StreamingEngine, int8 LLM, random weights) in a subprocess and reports
+    aggregate requests/s. Token work per request is fixed (stop ids
+    unreachable on random weights), so the number measures the continuous-
+    batching engine, not model quality."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "loadtest.py"
+    )
+    r = subprocess.run(
+        [
+            sys.executable, script, "--quant", "int8", "--mode", "engine",
+            "--clients", str(clients), "--requests", str(requests),
+            "--max-new", str(max_new), "--max-batch", "8",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=5400,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"loadtest rc={r.returncode}: {r.stderr[-400:]}")
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            return (
+                "serve_loadtest_requests_per_sec",
+                float(d["requests_per_s"]),
+                "requests/s/chip",
+            )
+        except (ValueError, KeyError):
+            continue
+    raise RuntimeError("loadtest printed no JSON")
+
+
 def _fake_mode_fns():
     """UFVIDEO_BENCH_FAKE=1: instant stub measurements (no jax import) so the
     driver's hang-proofing machinery is testable on CPU in seconds.
@@ -631,6 +669,7 @@ def _mode_fns():
         "sam_encode_int8": lambda: bench_sam_encode(quant=True),
         "e2e": bench_e2e,
         "e2e_batch": lambda: bench_e2e(batch=8),
+        "serve_loadtest": bench_serve_loadtest,
         "e2e_batch16": lambda: bench_e2e(batch=16, kv_quant=True),
         "e2e_batch16_int4": lambda: bench_e2e(
             batch=16, kv_quant=True, llm_quant="int4"
