@@ -369,6 +369,7 @@ def bench_e2e(
     batch: int = 1,
     kv_quant: bool = False,
     llm_quant="int8",
+    vision_quant: bool = False,
 ):
     """Full PixRQA-style pipeline on one chip (BASELINE.json metric
     'PixRQA e2e latency'): 32-frame SigLIP encode → STC projector → splice →
@@ -398,14 +399,15 @@ def bench_e2e(
     from ufvideo_tpu.models.ufvideo import UFVideoModel
     from ufvideo_tpu.splicing import plan_splice
 
-    cfg = UFVideoConfig(quant_llm=llm_quant)
+    cfg = UFVideoConfig(quant_llm=llm_quant, quant_vision=vision_quant)
     cfg = cfg.replace(
         budget=dataclasses.replace(
             cfg.budget, num_frames=num_frames, max_seq_len=4096
         )
     )
     model = UFVideoModel(cfg)
-    sam = SAM2(cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype)
+    sam = SAM2(cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype,
+               quant=vision_quant)
 
     shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0)))
     params = _random_params(shapes)
@@ -529,6 +531,8 @@ def bench_e2e(
     name = "pixrqa_e2e_videos_per_sec" + (f"_batch{batch}" if batch > 1 else "")
     if llm_quant in (4, "int4", "4bit"):
         name += "_int4"
+    if vision_quant:
+        name += "_int8v"
     return name, batch / dt, "videos/s/chip"
 
 
@@ -669,6 +673,8 @@ def _mode_fns():
         "sam_encode_int8": lambda: bench_sam_encode(quant=True),
         "e2e": bench_e2e,
         "e2e_batch": lambda: bench_e2e(batch=8),
+        "e2e_int8v": lambda: bench_e2e(vision_quant=True),
+        "e2e_batch_int8v": lambda: bench_e2e(batch=8, vision_quant=True),
         "serve_loadtest": bench_serve_loadtest,
         "e2e_batch16": lambda: bench_e2e(batch=16, kv_quant=True),
         "e2e_batch16_int4": lambda: bench_e2e(

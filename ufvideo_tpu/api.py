@@ -48,7 +48,8 @@ class UFVideoRuntime:
         self.ids = ids
         self.model = UFVideoModel(cfg)
         self.sam = SAM2(
-            cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype
+            cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype,
+            quant=cfg.quant_vision,
         )
         self._encode_video = jax.jit(
             lambda p, x: self.model.encode_video(p, x)
@@ -479,11 +480,18 @@ def model_init(
                 params["llm"],
                 bits=4 if cfg.quant_llm in (4, "int4", "4bit") else 8,
             )
+        if cfg.quant_vision:
+            from .quant import quantize_sam2_params, quantize_vision_params
+
+            params["vision"] = quantize_vision_params(params["vision"])
+            if "sam" in params:
+                params["sam"] = quantize_sam2_params(params["sam"])
     else:
         model = UFVideoModel(cfg)
         params = model.init_params(jax.random.PRNGKey(0))
         params["sam"] = SAM2(
-            cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype
+            cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype,
+            quant=cfg.quant_vision,
         ).init(
             jax.random.PRNGKey(1),
             jnp.zeros(

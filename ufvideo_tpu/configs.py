@@ -236,6 +236,10 @@ class UFVideoConfig:
     param_dtype: jnp.dtype = jnp.bfloat16
     # int8 weight-only LLM (bnb 4/8-bit load parity; ufvideo_tpu.quant)
     quant_llm: Any = False  # False | True/'int8' | 'int4' weight-only LLM
+    # W8A8 int8 vision towers (SigLIP encoder + SAM2 Hiera trunk): the
+    # compute-bound encoders run s8×s8→s32 MXU dots (quant.W8A8Dense /
+    # ops/hiera_block.fused_block_w8a8); beyond-reference serving lever
+    quant_vision: bool = False
     # int8 KV cache for decode (beyond-reference serving capacity lever:
     # halves the cache HBM footprint + decode read traffic; scales fold
     # into the ragged decode kernel)

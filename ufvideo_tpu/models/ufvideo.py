@@ -68,7 +68,9 @@ class UFVideoModel:
         self.cfg = cfg
         self.ring = ring
         dt, pt = cfg.compute_dtype, cfg.param_dtype
-        self.vision = SiglipVisionTower(cfg.vision, dtype=dt, param_dtype=pt)
+        self.vision = SiglipVisionTower(
+            cfg.vision, dtype=dt, param_dtype=pt, quant=cfg.quant_vision
+        )
         self.projector = build_projector(cfg.projector, dtype=dt, param_dtype=pt)
         self.region = RegionProjector(cfg.region, dtype=dt, param_dtype=pt)
         self.llm = Qwen2LM(
