@@ -95,6 +95,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    from ufvideo_tpu.utils import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
+
     from ufvideo_tpu.api import model_init
     from ufvideo_tpu.configs import tiny_config
     from ufvideo_tpu.eval.run import build_parser, run_benchmark

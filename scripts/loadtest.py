@@ -53,6 +53,10 @@ def main():
 
     import numpy as np
 
+    from ufvideo_tpu.utils import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
+
     from ufvideo_tpu.api import model_init
     from ufvideo_tpu.configs import UFVideoConfig, tiny_config
 

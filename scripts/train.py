@@ -66,6 +66,9 @@ def main():
     # the torchrun --nnodes counterpart (train_1121v1.sh:106-111); see
     # maybe_initialize_distributed for the env contract
     maybe_initialize_distributed()
+    from ufvideo_tpu.utils import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
 
     from ufvideo_tpu.api import model_init
     from ufvideo_tpu.models.sam2 import SAM2

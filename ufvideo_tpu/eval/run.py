@@ -425,6 +425,8 @@ if __name__ == "__main__":
     # inference_PixRQA.py:196): rank identity only, no collectives — each
     # process then evaluates its get_chunk slice and writes per-rank files
     from ..parallel.mesh import maybe_initialize_distributed
+    from ..utils import maybe_enable_compile_cache
 
     maybe_initialize_distributed()
+    maybe_enable_compile_cache()
     run_benchmark(build_parser().parse_args())
