@@ -184,3 +184,25 @@ def test_quantized_lm_int4_matches_fp():
     top10 = np.argsort(got, axis=-1)[..., -10:]
     hit = (top10 == ref.argmax(-1)[..., None]).any(-1).mean()
     assert hit > 0.7
+
+
+def test_int8_matvec_kernel_interpret():
+    import jax
+
+    from ufvideo_tpu.ops.quant_matmul import int8_matvec
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 256).astype("f") * 0.1)
+    q = jnp.asarray(rng.randint(-127, 128, (256, 512)), jnp.int8)
+    s = jnp.asarray(np.abs(rng.randn(512).astype("f")) * 0.01 + 1e-4)
+    got = int8_matvec(x, q, s, interpret=True)
+    want = (
+        jnp.dot(
+            x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        * s
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-3
+    )

@@ -153,3 +153,56 @@ def int4_matmul_reference(x, q8, scales, group):
     return jnp.dot(
         x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
+
+
+def _int8_kernel(
+    x_ref,  # [rows, din] bf16
+    q_ref,  # [din, nt] int8
+    s_ref,  # [1, nt] f32 per-column scales
+    o_ref,  # [rows, nt] f32
+):
+    w = q_ref[...].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    o_ref[...] = acc * s_ref[...]
+
+
+def int8_matvec(
+    x: jnp.ndarray,  # [..., din]
+    q: jnp.ndarray,  # [din, dout] int8
+    scale: jnp.ndarray,  # [dout] f32 per-output-column
+    nt: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode-shaped x @ dequant(q, scale) as an explicitly tiled Pallas
+    matvec: grid over output-column tiles, full contraction per step, the
+    int8 weight tile double-buffered by the Pallas pipeline. Exists as the
+    hand-scheduled alternative to XLA's matvec, which streams int8 decode
+    weights at only ~80% of HBM speed (PERF.md round-4 bisection)."""
+    *lead, din = x.shape
+    dout = q.shape[1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, din).astype(jnp.bfloat16)
+    if not nt:
+        nt = 512 if dout % 512 == 0 else (256 if dout % 256 == 0 else dout)
+    out = pl.pallas_call(
+        _int8_kernel,
+        grid=(dout // nt,),
+        in_specs=[
+            pl.BlockSpec((rows, din), lambda i: (0, 0)),
+            pl.BlockSpec((din, nt), lambda i: (0, i)),
+            pl.BlockSpec((1, nt), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((rows, nt), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((rows, dout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(x2, q, scale.reshape(1, -1).astype(jnp.float32))
+    return out.reshape(*lead, dout)
