@@ -545,10 +545,15 @@ RECORDED_HEADLINE = ("qwen2_7b_decode_tokens_per_sec", 49.81, "tokens/s/chip")
 RECORDED = {
     # mode -> (metric name, value, unit)   [recorded rounds 3-4]
     "vit_encode": ("vit_encode_frames_per_sec", 239.1, "frames/s/chip"),
-    # W8A8 int8 encoder, measured live 2026-08-19 (round 4)
+    # W8A8 int8 encoder via the fused whole-layer Pallas kernel, measured
+    # live 2026-08-19 (round 4; XLA W8A8 fallback path measured 294.76)
     "vit_encode_int8": (
-        "vit_encode_int8_frames_per_sec", 294.76, "frames/s/chip"),
+        "vit_encode_int8_frames_per_sec", 337.47, "frames/s/chip"),
     "sam_encode": ("sam2_encode_frames_per_sec", 47.84, "frames/s/chip"),
+    # W8A8 trunk via the head_pad-generalized fused int8 whole-block kernel,
+    # measured live 2026-08-19 (round 4; bf16 fused path is 47.84)
+    "sam_encode_int8": (
+        "sam2_encode_int8_frames_per_sec", 61.06, "frames/s/chip"),
     "decode_int8": ("qwen2_7b_decode_int8_tokens_per_sec", 90.2, "tokens/s/chip"),
     "prefill": ("qwen2_7b_prefill_tokens_per_sec", 12227.0, "tokens/s/chip"),
     "e2e": ("pixrqa_e2e_videos_per_sec", 0.73, "videos/s/chip"),
@@ -579,6 +584,7 @@ DRIVER_EXTRA_MODES = (
     ("vit_encode", 600),
     ("vit_encode_int8", 600),
     ("sam_encode", 1100),
+    ("sam_encode_int8", 700),
     ("decode_int8_kvq8", 400),
     ("e2e", 1600),
     ("prefill", 500),

@@ -20,6 +20,7 @@ matmuls; logits for padding ids are masked at sampling time.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -116,11 +117,27 @@ class QuantDense(nn.Module):
                 "kernel_scale", nn.initializers.ones, (self.features,),
                 jnp.float32,
             )
-            y = jnp.dot(
-                x.astype(self.dtype), q.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            y = (y * scale).astype(self.dtype)
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
+            if (
+                rows <= 32
+                and jax.default_backend() == "tpu"
+                and os.environ.get("UFVIDEO_INT8_MATVEC", "0") == "1"
+            ):
+                # decode-shaped matvec: hand-scheduled Pallas tile pipeline
+                # (ops/quant_matmul.int8_matvec). Off by default — the
+                # round-4 on-chip A/B decides (PERF.md); XLA's matvec streams
+                # int8 weights at ~80% of HBM speed.
+                from ..ops.quant_matmul import int8_matvec
+
+                y = int8_matvec(x, q, scale).astype(self.dtype)
+            else:
+                y = jnp.dot(
+                    x.astype(self.dtype), q.astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                y = (y * scale).astype(self.dtype)
         else:
             assert self.bits == 4 and din % self.group == 0, (self.bits, din)
             from ..quant import unpack_int4  # packed-int8 4-bit storage
