@@ -567,6 +567,11 @@ RECORDED = {
         "tokens/s/chip"),
     "decode_int8_kvq8": (
         "qwen2_7b_decode_int8_kvq8_tokens_per_sec", 91.93, "tokens/s/chip"),
+    # StreamingEngine offered-load (8 clients, 32 requests, 64 new tokens,
+    # full per-request vision+prefill admission), measured live 2026-08-19;
+    # admission-bound at this request shape — see PERF.md round 4.
+    "serve_loadtest": (
+        "serve_loadtest_requests_per_sec", 0.15, "requests/s/chip"),
 }
 
 # Modes the driver line re-measures live, highest-value-per-cost first, with
@@ -589,6 +594,7 @@ DRIVER_EXTRA_MODES = (
     ("e2e", 1600),
     ("prefill", 500),
     ("e2e_batch", 1900),
+    ("serve_loadtest", 1500),
 )
 
 

@@ -35,7 +35,12 @@ SHAPES = [
 ]
 
 
-def timeit_chain(step, x0, q, s, iters=8):
+def timeit_chain(step, x0, q, s, iters=512):
+    # iters must be LARGE: a single decode matvec is 0.1-1 ms, and this
+    # remote runtime's dispatch+readback jitter is tens of ms — at iters=8
+    # (first attempt) (tn - t1) sat below the noise floor and several shapes
+    # "measured" 0 ms. The model-level bisection in PERF.md remains the
+    # authoritative per-shape source; this probe is a secondary diagnostic.
     din = x0.shape[-1]
 
     def run_n(n):
