@@ -541,7 +541,7 @@ def bench_e2e(
 # not fit the driver's remaining time budget — and then each fallback value
 # is explicitly flagged {"stale": true}. `python bench.py all` prints the
 # whole suite live.
-RECORDED_HEADLINE = ("qwen2_7b_decode_tokens_per_sec", 49.81, "tokens/s/chip")
+RECORDED_HEADLINE = ("qwen2_7b_decode_tokens_per_sec", 49.73, "tokens/s/chip")
 RECORDED = {
     # mode -> (metric name, value, unit)   [recorded rounds 3-4]
     "vit_encode": ("vit_encode_frames_per_sec", 239.1, "frames/s/chip"),
