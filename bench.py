@@ -850,17 +850,33 @@ def _driver():
         name_fallback = (
             RECORDED_HEADLINE[0] if mode == "decode" else RECORDED[mode][0]
         )
-        try:
-            metric, value, unit = _run_mode_subprocess(mode, deadline)
-        except Exception as e:
-            err = type(e).__name__
-            if mode == "decode":
-                record["headline_error"] = err
-            else:
-                record["extra"][name_fallback] = {
-                    "value": RECORDED[mode][1], "stale": True, "error": err,
-                }
-            checkpoint()
+        metric = None
+        for attempt in (0, 1):
+            t_mode = time.perf_counter()
+            try:
+                metric, value, unit = _run_mode_subprocess(mode, deadline)
+                break
+            except Exception as e:
+                err = type(e).__name__
+                crashed_fast = (time.perf_counter() - t_mode) < 0.5 * deadline
+                # transient TPU RESOURCE_EXHAUSTED observed 2026-08-19: the
+                # remote runtime can take ~1 min to free a dead process's
+                # HBM, and the bf16 7B headline needs nearly all of it —
+                # one quick-crash retry recovers it. Timeouts never retry
+                # (the second attempt would also eat the budget).
+                if attempt == 0 and crashed_fast and not fake:
+                    time.sleep(60.0)
+                    continue
+                if mode == "decode":
+                    record["headline_error"] = err
+                else:
+                    record["extra"][name_fallback] = {
+                        "value": RECORDED[mode][1], "stale": True,
+                        "error": err,
+                    }
+                checkpoint()
+                return False
+        if metric is None:
             return False
         if mode == "decode":
             baseline = BASELINES.get(metric, 0.0)
