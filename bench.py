@@ -575,14 +575,17 @@ RECORDED = {
 }
 
 # Modes the driver line re-measures live, highest-value-per-cost first, with
-# per-mode cost estimates (seconds, dominated by remote compile) used to
-# decide whether the remaining budget allows a live run. EVERY RECORDED mode
-# must appear here so a budget miss degrades to a stale-flagged fallback
-# rather than silently dropping the metric from the round record.
+# COLD-compile cost estimates (seconds). EVERY RECORDED mode must appear
+# here so a budget miss degrades to a stale-flagged fallback rather than
+# silently dropping the metric from the round record.
+#
+# The cold estimates are only the floor of the scheduling logic: the driver
+# prefers the last MEASURED wall cost of each mode (BENCH_COSTS.json,
+# updated after every live run — single-mode invocations included) whenever
+# the persistent compile cache is warm (<repo>/.jax_cache non-empty).
+# Round 4's record went 9/12-stale precisely because these cold numbers
+# (1100-1900 s) were used to budget modes whose warm cost is 70-350 s.
 DRIVER_EXTRA_MODES = (
-    # (mode key, est. seconds incl. compile) — estimates are cold-compile
-    # conservative; observed warm runs 2026-08-18: decode_int8_kvq8 145 s,
-    # spec_best 130 s, spec_worst 70 s
     ("decode_int8", 600),
     ("decode_int8_spec_best", 400),
     ("decode_int8_spec_worst", 300),
@@ -596,6 +599,52 @@ DRIVER_EXTRA_MODES = (
     ("e2e_batch", 1900),
     ("serve_loadtest", 1500),
 )
+
+_COSTS_PATH_ENV = "UFVIDEO_BENCH_COSTS"
+
+
+def _costs_path() -> str:
+    return os.environ.get(_COSTS_PATH_ENV) or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_COSTS.json"
+    )
+
+
+def _load_costs() -> dict:
+    try:
+        with open(_costs_path()) as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_cost(mode: str, seconds: float) -> None:
+    """Persist a mode's measured wall cost (compile-cache-warm after the
+    first run) so the driver budgets future runs from reality instead of
+    the cold-compile constants."""
+    costs = _load_costs()
+    costs[mode] = round(float(seconds), 1)
+    try:
+        with open(_costs_path(), "w") as f:
+            f.write(json.dumps(costs, indent=0, sort_keys=True) + "\n")
+    except OSError:
+        pass
+
+
+def _cache_is_warm() -> bool:
+    """True when the persistent compile cache has entries — the condition
+    under which BENCH_COSTS.json's measured (warm) costs are trustworthy.
+    A code change invalidates specific executables, not the whole cache;
+    the 2x deadline slack in the driver absorbs partial misses."""
+    cache_dir = os.environ.get("UFVIDEO_JAX_CACHE", "") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    if cache_dir.lower() == "off":
+        return False
+    try:
+        return any(True for _ in os.scandir(cache_dir))
+    except OSError:
+        return False
 
 
 def bench_serve_loadtest(
@@ -800,7 +849,10 @@ def _driver():
     import signal
 
     record = _stale_record()
-    partial_path = os.path.join(
+    # UFVIDEO_BENCH_PARTIAL relocates the incremental checkpoint file —
+    # the test suite points it at a tmpdir so a fake-mode driver run can
+    # never clobber the repo-root record of a real (possibly killed) bench.
+    partial_path = os.environ.get("UFVIDEO_BENCH_PARTIAL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"
     )
     state = {"emitted": False}
@@ -836,17 +888,26 @@ def _driver():
         emit(partial=False)
         return
 
-    budget = float(os.environ.get("UFVIDEO_BENCH_BUDGET", 4200.0))
+    # default lowered 4200 → 3300: rounds 3-4 were rc=124 — the DRIVER'S
+    # external timeout killed the suite before this budget elapsed, so the
+    # budget must undercut it for the record to ever finish with rc=0
+    budget = float(os.environ.get("UFVIDEO_BENCH_BUDGET", 3300.0))
     deadline_cap = float(os.environ.get("UFVIDEO_BENCH_DEADLINE", 1e9))
     t_start = time.perf_counter()
+    costs = _load_costs() if _cache_is_warm() else {}
 
     def run_live(mode: str, est_seconds: float) -> bool:
         """One bounded live measurement; returns True and upgrades the
-        record on success, leaves the stale entry (annotated) otherwise."""
+        record on success, leaves the stale entry (annotated) otherwise.
+        ``est_seconds`` (the cold-compile constant) is replaced by the
+        mode's last measured wall cost when the compile cache is warm."""
+        if mode in costs:
+            est_seconds = min(est_seconds, costs[mode] * 1.4 + 30.0)
         remaining = budget - (time.perf_counter() - t_start)
         if remaining < est_seconds:
             return False
-        deadline = min(est_seconds * 1.5, remaining, deadline_cap)
+        deadline = min(max(est_seconds * 2.0, est_seconds + 90.0),
+                       remaining, deadline_cap)
         name_fallback = (
             RECORDED_HEADLINE[0] if mode == "decode" else RECORDED[mode][0]
         )
@@ -855,6 +916,8 @@ def _driver():
             t_mode = time.perf_counter()
             try:
                 metric, value, unit = _run_mode_subprocess(mode, deadline)
+                if not fake:
+                    _record_cost(mode, time.perf_counter() - t_mode)
                 break
             except Exception as e:
                 err = type(e).__name__
@@ -915,7 +978,13 @@ def main():
                 print(json.dumps({"mode": name, "error": type(e).__name__}),
                       flush=True)
         return
+    t0 = time.perf_counter()
     metric, value, unit = fns[which]()
+    if os.environ.get("UFVIDEO_BENCH_FAKE", "") != "1":
+        # manual runs warm the compile cache AND teach the driver this
+        # mode's true wall cost (plus interpreter/import overhead ~10 s,
+        # which the driver's subprocess pays too)
+        _record_cost(which, time.perf_counter() - t0 + 10.0)
     baseline = BASELINES.get(metric, 0.0)
     print(json.dumps({
         "metric": metric,

@@ -26,9 +26,13 @@ BENCH = os.path.join(
 )
 
 
-def _env(**extra):
+def _env(tmp_path, **extra):
     env = dict(os.environ)
     env["UFVIDEO_BENCH_FAKE"] = "1"
+    # keep fake-mode runs from clobbering the repo-root BENCH_PARTIAL.json
+    # (a mid-round suite run after a killed real bench would otherwise
+    # destroy the only partial perf evidence — VERDICT r4)
+    env["UFVIDEO_BENCH_PARTIAL"] = str(tmp_path / "BENCH_PARTIAL.json")
     env.update({k: str(v) for k, v in extra.items()})
     return env
 
@@ -50,9 +54,9 @@ def _json_lines(stdout: str):
 
 
 @pytest.mark.smoke
-def test_driver_clean_run_all_live():
+def test_driver_clean_run_all_live(tmp_path):
     r = subprocess.run(
-        [sys.executable, BENCH], env=_env(), capture_output=True, text=True,
+        [sys.executable, BENCH], env=_env(tmp_path), capture_output=True, text=True,
         timeout=120,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -67,12 +71,13 @@ def test_driver_clean_run_all_live():
 
 
 @pytest.mark.smoke
-def test_driver_hung_mode_degrades_to_stale():
+def test_driver_hung_mode_degrades_to_stale(tmp_path):
     """A hang in one mode (simulated stuck compile) must not erase the
     record: that mode falls back stale-flagged, later modes run live."""
     r = subprocess.run(
         [sys.executable, BENCH],
         env=_env(
+            tmp_path,
             UFVIDEO_BENCH_FAKE_HANG="decode_int8_spec_best",
             UFVIDEO_BENCH_DEADLINE="2",
         ),
@@ -90,10 +95,13 @@ def test_driver_hung_mode_degrades_to_stale():
 
 
 @pytest.mark.smoke
-def test_driver_hung_headline_keeps_extras_live():
+def test_driver_hung_headline_keeps_extras_live(tmp_path):
     r = subprocess.run(
         [sys.executable, BENCH],
-        env=_env(UFVIDEO_BENCH_FAKE_HANG="decode", UFVIDEO_BENCH_DEADLINE="2"),
+        env=_env(
+            tmp_path, UFVIDEO_BENCH_FAKE_HANG="decode",
+            UFVIDEO_BENCH_DEADLINE="2",
+        ),
         capture_output=True,
         text=True,
         timeout=120,
@@ -106,12 +114,13 @@ def test_driver_hung_headline_keeps_extras_live():
 
 
 @pytest.mark.smoke
-def test_driver_sigterm_mid_suite_emits_partial_record():
+def test_driver_sigterm_mid_suite_emits_partial_record(tmp_path):
     """Kill the driver mid-suite the way the external `timeout` does and
     assert the stdout still ends with one valid JSON record."""
     proc = subprocess.Popen(
         [sys.executable, BENCH],
         env=_env(
+            tmp_path,
             # first extra (decode_int8) hangs -> the driver sits inside
             # subprocess.run when the TERM arrives, after the headline
             # already completed live
@@ -122,7 +131,16 @@ def test_driver_sigterm_mid_suite_emits_partial_record():
         stderr=subprocess.PIPE,
         text=True,
     )
-    time.sleep(4.0)  # headline (instant) done; decode_int8 hanging
+    # wait for the headline's checkpoint write (interpreter startup alone
+    # costs ~4 s on this host — sitecustomize imports jax — so a fixed
+    # sleep is flaky under load; the partial file is the sync point that
+    # proves the headline finished and decode_int8 is the one hanging)
+    partial = tmp_path / "BENCH_PARTIAL.json"
+    deadline = time.time() + 60
+    while not partial.exists() and time.time() < deadline:
+        time.sleep(0.1)
+    assert partial.exists(), "driver never checkpointed the headline"
+    time.sleep(0.5)  # let it enter the hanging decode_int8 subprocess
     proc.send_signal(signal.SIGTERM)
     out, err = proc.communicate(timeout=30)
     rec = _last_json(out)
@@ -135,13 +153,77 @@ def test_driver_sigterm_mid_suite_emits_partial_record():
 
 
 @pytest.mark.smoke
-def test_driver_checkpoints_partial_file():
+def test_driver_measured_costs_beat_cold_estimates(tmp_path):
+    """A budget too small for the cold-compile estimates must still run
+    every mode live when BENCH_COSTS.json says their measured (warm) cost
+    is tiny — the round-4 record went 9/12-stale exactly because the
+    driver budgeted from cold constants with a warm cache on disk."""
+    costs = tmp_path / "BENCH_COSTS.json"
+    # every extra mode "measured" at 1 s on a previous run
+    sys.path.insert(0, os.path.dirname(BENCH))
+    try:
+        import bench as bench_mod
+    finally:
+        sys.path.pop(0)
+    modes = [m for m, _ in bench_mod.DRIVER_EXTRA_MODES] + ["decode"]
+    costs.write_text(json.dumps({m: 1.0 for m in modes}))
+    warm_cache = tmp_path / "jc"
+    warm_cache.mkdir()
+    (warm_cache / "entry").write_text("x")
+    # 300 s budget: under every cold estimate (600-1900 s) but far above
+    # the measured costs — live requires the costs file to be honored
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=_env(
+            tmp_path,
+            UFVIDEO_BENCH_BUDGET="300",
+            UFVIDEO_BENCH_COSTS=str(costs),
+            UFVIDEO_JAX_CACHE=str(warm_cache),
+        ),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = _last_json(r.stdout)
+    assert "stale" not in rec
+    for name, val in rec["extra"].items():
+        assert not isinstance(val, dict), f"{name} stayed stale: {val}"
+    # without the costs file the same budget strands every extra stale
+    # (hermetic: point the costs path at a nonexistent file so a repo-root
+    # BENCH_COSTS.json from real runs can't leak in)
+    r2 = subprocess.run(
+        [sys.executable, BENCH],
+        env=_env(
+            tmp_path,
+            UFVIDEO_BENCH_BUDGET="300",
+            UFVIDEO_BENCH_COSTS=str(tmp_path / "absent.json"),
+        ),
+        capture_output=True, text=True, timeout=120,
+    )
+    rec2 = _last_json(r2.stdout)
+    stale = [n for n, v in rec2["extra"].items() if isinstance(v, dict)]
+    assert stale, "cold estimates under a 300 s budget should strand modes"
+
+
+@pytest.mark.smoke
+def test_driver_checkpoints_partial_file(tmp_path):
+    repo_partial = os.path.join(os.path.dirname(BENCH), "BENCH_PARTIAL.json")
+    before = None
+    if os.path.exists(repo_partial):
+        with open(repo_partial, "rb") as f:
+            before = f.read()
     subprocess.run(
-        [sys.executable, BENCH], env=_env(), capture_output=True, text=True,
+        [sys.executable, BENCH], env=_env(tmp_path), capture_output=True, text=True,
         timeout=120, check=True,
     )
-    path = os.path.join(os.path.dirname(BENCH), "BENCH_PARTIAL.json")
-    assert os.path.exists(path)
-    with open(path) as f:
-        rec = json.loads(f.read())
+    path = tmp_path / "BENCH_PARTIAL.json"
+    assert path.exists()
+    rec = json.loads(path.read_text())
     assert rec["metric"] == "qwen2_7b_decode_tokens_per_sec"
+    # the repo-root record (a real round's partial perf evidence) must be
+    # byte-identical after a suite run — fake-mode drivers write only to
+    # the UFVIDEO_BENCH_PARTIAL override (VERDICT r4 weak #5)
+    after = None
+    if os.path.exists(repo_partial):
+        with open(repo_partial, "rb") as f:
+            after = f.read()
+    assert after == before

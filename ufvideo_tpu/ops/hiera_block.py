@@ -1166,8 +1166,10 @@ fused_hiera_block.defvjp(_fwd, _bwd)
 # quantize runs on VMEM-resident values with the rescale fused into the
 # bias add, removing the XLA path's extra HBM traffic). Attention stays
 # bf16 (72-lane contractions, score range). Inference path of the frozen
-# towers — forward-only; the non-TPU fallback and the grad path (if ever
-# taken) go through the XLA reference below.
+# towers; the non-TPU fallback goes through the quantized XLA reference
+# below, and the grad path (if ever taken) is a straight-through estimator
+# through the dequantized float reference (custom_vjp at the bottom of
+# this file).
 # ---------------------------------------------------------------------------
 
 def _quant_rows_f32(x32):
@@ -1302,6 +1304,7 @@ def w8a8_reference(x, params, num_heads, head_dim, act="gelu_tanh",
     return x1 + mlp.astype(dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def fused_block_w8a8(
     x: jnp.ndarray,  # [N, S, C] window-major tokens (SigLIP: one
     #                   whole-sequence window per image)
@@ -1366,3 +1369,45 @@ def fused_block_w8a8(
         w1, vec(s1), vec(b1),
         w2, vec(s2), vec(b2),
     )
+
+
+def _w8a8_fwd(x, params, num_heads, head_dim, head_pad, interpret, act, eps):
+    return (
+        fused_block_w8a8(
+            x, params, num_heads, head_dim, head_pad, interpret, act, eps
+        ),
+        (x, params),
+    )
+
+
+def _w8a8_bwd(num_heads, head_dim, head_pad, interpret, act, eps, res, g):
+    # Grad path (quant_vision under training, e.g. a LoRA/adapter run that
+    # leaves the towers int8): straight-through estimator — backward runs
+    # the float reference block on DEQUANTIZED weights (round() is
+    # piecewise-constant, so differentiating the quantized reference would
+    # zero most of the gradient; the STE of the dequantized matmul is the
+    # standard QAT choice) and keeps pallas_call off the backward trace
+    # (which it cannot lower). int8 weight leaves get float0 cotangents;
+    # x, LN params, biases, and scales get real gradients.
+    x, params = res
+
+    def deq_ref(xx, pp):
+        (ln1_s, ln1_b, wqkv, sqkv, bqkv, wproj, sproj, bproj, ln2_s, ln2_b,
+         w1, s1, b1, w2, s2, b2) = pp
+        f32 = jnp.float32
+        deq = lambda w, s: (w.astype(f32) * s.astype(f32)[None, :]).astype(
+            xx.dtype
+        )
+        fp = (ln1_s, ln1_b, deq(wqkv, sqkv), bqkv.astype(xx.dtype),
+              deq(wproj, sproj), bproj.astype(xx.dtype), ln2_s, ln2_b,
+              deq(w1, s1), b1.astype(xx.dtype), deq(w2, s2),
+              b2.astype(xx.dtype))
+        return _reference(
+            xx, fp, num_heads, head_dim, head_pad or head_dim, act, eps
+        )
+
+    _, vjp = jax.vjp(deq_ref, x, params)
+    return vjp(g)
+
+
+fused_block_w8a8.defvjp(_w8a8_fwd, _w8a8_bwd)

@@ -277,6 +277,22 @@ def make_train_step(
                 return jax.make_array_from_process_local_data(
                     batch_sharding, arr, (g0,) + arr.shape[1:]
                 )
+            if arr.ndim >= 1:
+                # Refuse rather than "replicate": each process holds
+                # DIFFERENT local rows here, so building a replicated global
+                # array from them silently diverges across hosts (each host
+                # would compute on its own rows while XLA assumes identical
+                # replicas). Single-process semantics (replicate the full
+                # batch leaf) cannot be reproduced without an all-gather;
+                # a leading dim that doesn't tile the data axes in a
+                # multi-process run is a misconfigured global batch size.
+                raise ValueError(
+                    f"multi-process batch leaf with shape {arr.shape}: "
+                    f"global leading dim {g0} (= {arr.shape[0]} local rows x "
+                    f"{pcount} processes) does not divide the data-parallel "
+                    f"size {dp_size}; adjust the per-process batch so every "
+                    "batch-leading leaf tiles the data mesh axes"
+                )
             return jax.make_array_from_process_local_data(
                 replicated, arr, arr.shape
             )

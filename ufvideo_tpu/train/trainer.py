@@ -161,6 +161,14 @@ class Trainer:
                     pass
         else:
             save_params(path, state)
+        # Multi-host NOTE: output_dir must be a SHARED filesystem (GCS /
+        # NFS) — save_params writes collectively (every process contributes
+        # its addressable shards to the same checkpoint directory, the
+        # standard orbax/TPU-pod layout), so a host-local output_dir would
+        # leave each host with an incomplete checkpoint that cannot be
+        # restored. Rotation therefore runs on rank 0 only: on the shared
+        # FS one rmtree removes every process's shards. See SCALING.md
+        # "checkpointing".
         if jax.process_index() == 0:
             self._rotate()
 
