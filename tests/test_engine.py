@@ -119,6 +119,55 @@ def test_engine_rejects_unsupported(runtime):
             eng.submit({"instruct": "x"}, modal="text", max_new_tokens=99)
 
 
+def test_engine_batched_admission_matches_solo(runtime):
+    """The admission pipeline batches same-shaped queued video requests
+    into ONE encode/splice/prefill dispatch chain. Every stage is
+    row-independent, so the prepared state (scratch KV rows, first token,
+    lengths) must equal the solo chain bit-for-bit — this is what makes
+    engine outputs token-identical to mm_infer regardless of who was
+    queued alongside."""
+    import jax
+
+    from ufvideo_tpu import engine as engine_mod
+    from ufvideo_tpu.api import _assemble_input_ids
+    from ufvideo_tpu.constants import DEFAULT_VIDEO_TOKEN
+    from ufvideo_tpu.serve import ServeFuture
+
+    model, _, tok = runtime
+    cfg = model.cfg
+    videos = [_video(cfg, 40 + i) for i in range(3)]
+    prompts = [
+        "What happens?",
+        "Describe the third object in this scene in detail.",
+        "Why?",
+    ]
+    with StreamingEngine(model, tok, max_slots=4, max_new_cap=8) as eng:
+        reqs = [
+            engine_mod._EngineRequest(
+                {"video": v, "instruct": p}, "video", 1,
+                {"max_new_tokens": 6}, ServeFuture(), False,
+            )
+            for v, p in zip(videos, prompts)
+        ]
+        batched = eng._prepare(reqs)
+        assert all(isinstance(b, engine_mod._Prepared) for b in batched)
+        # batching actually happened: same-shape videos share a scratch
+        assert batched[0].scratch is batched[1].scratch
+        for req, prep in zip(reqs, batched):
+            ids = _assemble_input_ids(
+                req.sample["instruct"], 1, DEFAULT_VIDEO_TOKEN, tok
+            )
+            solo = eng._prepare_one(req, ids)
+            assert prep.t0 == solo.t0
+            assert prep.real_len == solo.real_len
+            jax.tree.map(
+                lambda a, b, src=prep.src: np.testing.assert_array_equal(
+                    np.asarray(a)[:, src], np.asarray(b)[:, 0]
+                ),
+                prep.scratch, solo.scratch,
+            )
+
+
 def test_engine_kv_quant_cache(runtime):
     """Quantized persistent cache: _copy_slot/decode must route the scale
     leaves too, and outputs still match the (same-quantization) solo path."""

@@ -16,12 +16,26 @@ Mechanics (all shapes static):
 - Persistent state: a ``[L, max_slots, Hkv, S, D]`` KV cache with
   ``S = max_seq_len + max_new_cap`` positions, plus host-side numpy
   ``cache_len`` / ``cur`` / ``done`` per slot (idle slot == done).
-- Admission: ``prefill_start`` runs the request alone on a
-  256-bucketed-length scratch cache (a bounded set of compile variants);
-  ``_copy_slot`` writes its K/V rows into the slot. The ragged decode
-  kernel is row-independent, so a slot's tokens are bit-identical to what
-  the request would produce alone — batchmates never perturb outputs
-  (tests pin engine text == mm_infer text under staggered admission).
+- Admission is PIPELINED and BATCHED (round-5 redesign; the round-4
+  loadtest measured the old inline admission as the bottleneck — the
+  ~7 s per-request chain of host-synced dispatches serialized against
+  decode, 0.15 req/s while all decode work was 3.5 s of a 236 s window):
+  a dedicated admitter thread runs the expensive per-request chain (video
+  host→device transfer → vision encode → splice → prefill) while the
+  decode worker keeps dispatching chunks, and every request queued at the
+  same time rides ONE batched encode/splice/prefill dispatch chain
+  (row-independent, so per-request outputs are unchanged). The decode
+  worker only performs the cheap slot splice (``_copy_slot`` /
+  ``spec_slot_admit``) between chunks. Prepared-but-unspliced scratch
+  caches are bounded by the free-slot count, so admission-ahead never
+  exceeds the slot budget's HBM.
+- Exactness: ``prefill_start`` runs on a 256-bucketed-length scratch
+  cache (a bounded set of compile variants); ``_copy_slot`` writes one
+  request's K/V rows into its slot. The ragged decode kernel and every
+  batched admission stage are row-independent, so a slot's tokens are
+  bit-identical to what the request would produce alone — batchmates
+  never perturb outputs (tests pin engine text == mm_infer text under
+  staggered admission, batched and solo).
 - Stepping: one ``decode_chunk`` dispatch advances every active slot
   ``chunk`` tokens; finished slots (eos, budget, host-side stop string)
   retire between chunks and free their slot.
@@ -87,15 +101,32 @@ class _SlotState:
 
 
 @jax.jit
-def _copy_slot(cache, scratch, slot):
-    """Write a 1-sequence scratch cache's rows into batch row ``slot`` of
-    the persistent cache (scratch S may be shorter than the persistent S)."""
+def _copy_slot(cache, scratch, slot, src=0):
+    """Write row ``src`` of a scratch cache into batch row ``slot`` of the
+    persistent cache (scratch S may be shorter than the persistent S; the
+    batched admission pipeline prefills several queued requests into one
+    scratch, one row each)."""
     return jax.tree.map(
         lambda c, p: jax.lax.dynamic_update_slice(
-            c, p.astype(c.dtype), (0, slot) + (0,) * (p.ndim - 2)
+            c,
+            jax.lax.dynamic_slice_in_dim(p, src, 1, axis=1).astype(c.dtype),
+            (0, slot) + (0,) * (p.ndim - 2),
         ),
         cache, scratch,
     )
+
+
+@dataclass
+class _Prepared:
+    """A request after the expensive admission chain, awaiting only its
+    slot splice on the decode worker."""
+
+    req: _EngineRequest
+    scratch: Any  # prefilled scratch KV cache (possibly multi-row)
+    src: int  # this request's row in ``scratch``
+    t0: int  # first generated token (from the prefill dispatch)
+    real_len: int  # un-padded prompt length
+    lookup_ids: Optional[np.ndarray]  # spec mode: [S] prompt-lookup row
 
 
 class StreamingEngine:
@@ -154,10 +185,24 @@ class StreamingEngine:
         self._done = np.ones(self.max_slots, bool)  # idle == done
         self._forced_done = np.zeros(self.max_slots, bool)  # spec mode
 
+        # admission pipeline: the admitter thread prepares requests
+        # (transfer/encode/splice/prefill — batched across everything
+        # queued) into ``_ready``; the decode worker splices them into
+        # slots between chunks. ``_reserved`` holds slot indices claimed
+        # by in-flight preparations so prepared scratch HBM stays bounded
+        # by the slot budget (only the admitter adds, only the worker —
+        # after occupying the slot — removes).
+        self._ready: "queue_mod.Queue" = queue_mod.Queue()
+        self._reserved: set = set()
+
         self._worker = threading.Thread(
             target=self._run, name="ufvideo-engine", daemon=True
         )
+        self._admitter = threading.Thread(
+            target=self._admit_loop, name="ufvideo-admit", daemon=True
+        )
         self._worker.start()
+        self._admitter.start()
 
     # ---------------- client surface ----------------
 
@@ -203,7 +248,9 @@ class StreamingEngine:
             s = dict(self._stats)
             lat = sorted(self._lat[-512:])
         s["active_slots"] = sum(sl is not None for sl in self._slots)
-        s["pending"] = self._queue.qsize()
+        # pending = queued + prepared-awaiting-splice (the admission
+        # pipeline's in-flight work is not yet an "admission")
+        s["pending"] = self._queue.qsize() + self._ready.qsize()
         if self.spec_k:
             # cumulative (retired requests) + the live slots' rows as of
             # the last step (device rows reset on every admission)
@@ -227,7 +274,9 @@ class StreamingEngine:
 
     def close(self, timeout: float = 120.0) -> None:
         self._closing = True
-        self._worker.join(timeout)
+        t0 = time.perf_counter()
+        self._admitter.join(timeout)
+        self._worker.join(max(timeout - (time.perf_counter() - t0), 0.1))
 
     def __enter__(self) -> "StreamingEngine":
         return self
@@ -235,27 +284,194 @@ class StreamingEngine:
     def __exit__(self, *exc) -> None:
         self.close()
 
-    # ---------------- worker ----------------
+    # ---------------- admitter (preparation pipeline) ----------------
 
-    def _free_slot(self) -> Optional[int]:
-        for i, s in enumerate(self._slots):
-            if s is None:
-                return i
-        return None
+    def _free_unreserved(self) -> List[int]:
+        return [
+            i for i, s in enumerate(self._slots)
+            if s is None and i not in self._reserved
+        ]
 
-    def _admit(self, slot: int, req: _EngineRequest) -> None:
-        """Vision-encode + splice + prefill the request into ``slot``."""
+    def _deliver_error(self, req: _EngineRequest, exc: BaseException) -> None:
+        with self.stats_lock:
+            self._stats["errors"] += 1
+        if req.stream:
+            req.future.finish(exc)
+        else:
+            req.future.set_exception(exc)
+
+    def _admit_loop(self) -> None:
+        """Admitter thread: run the expensive per-request chain (video
+        transfer → vision encode → splice → prefill) off the decode
+        worker, batching everything queued at the same time into one
+        dispatch chain. Decode chunks keep dispatching while this runs —
+        the two only meet at the slot splice (``_install``)."""
+        while True:
+            try:
+                req = self._queue.get(timeout=0.05)
+            except queue_mod.Empty:
+                if self._closing:
+                    return
+                continue
+            # wait for a free slot: bounds prepared-scratch HBM to the
+            # slot budget (the worker frees slots as requests retire)
+            while True:
+                free = self._free_unreserved()
+                if free:
+                    break
+                time.sleep(0.002)
+            reqs = [req]
+            while len(reqs) < len(free):
+                try:
+                    reqs.append(self._queue.get_nowait())
+                except queue_mod.Empty:
+                    break
+            slots = free[: len(reqs)]
+            for s in slots:
+                self._reserved.add(s)
+            with self.stats_lock:
+                self._stats["requests"] += len(reqs)
+            try:
+                results = self._prepare(reqs)
+            except BaseException as e:  # noqa: BLE001 — admitter must live
+                results = [e] * len(reqs)
+            for r, slot, res in zip(reqs, slots, results):
+                if isinstance(res, BaseException):
+                    self._deliver_error(r, res)
+                    self._reserved.discard(slot)
+                else:
+                    self._ready.put((slot, res))
+
+    def _prepare(self, reqs: List[_EngineRequest]) -> List[Any]:
+        """Run the admission chain for a batch of requests. Same-shaped
+        plain video requests share ONE encode/splice/prefill dispatch
+        chain (each stage is row-independent, so outputs equal the solo
+        path bit-for-bit); text/image/region requests prepare solo.
+        Returns one ``_Prepared`` or exception per request."""
+        model = self.model
+        results: List[Any] = [None] * len(reqs)
+        pend = []
+        for i, req in enumerate(reqs):
+            try:
+                modal_token = {
+                    "image": DEFAULT_IMAGE_TOKEN,
+                    "video": DEFAULT_VIDEO_TOKEN,
+                    "text": "",
+                }[req.modal]
+                ids = _assemble_input_ids(
+                    req.sample["instruct"], req.choice, modal_token,
+                    self.tokenizer,
+                )
+                if model.ids.seg in ids:
+                    raise ValueError(
+                        "engine mode is QA-only ([SEG] in prompt)"
+                    )
+                pend.append((i, ids))
+            except Exception as e:  # noqa: BLE001 — delivered to caller
+                results[i] = e
+        groups: Dict[tuple, List[tuple]] = {}
+        solo: List[tuple] = []
+        for i, ids in pend:
+            s = reqs[i].sample
+            vid = s.get("video")
+            if (
+                reqs[i].modal == "video"
+                and vid is not None
+                and s.get("frame") is None
+                and s.get("masks") is None
+            ):
+                arr = np.asarray(vid)
+                groups.setdefault(
+                    (arr.shape, str(arr.dtype)), []
+                ).append((i, ids, arr))
+            else:
+                solo.append((i, ids))
+        for members in groups.values():
+            try:
+                self._prepare_video_group(reqs, members, results)
+            except Exception:  # noqa: BLE001 — one bad batch ≠ batch death
+                for i, ids, _arr in members:
+                    solo.append((i, ids))
+        for i, ids in solo:
+            try:
+                results[i] = self._prepare_one(reqs[i], ids)
+            except Exception as e:  # noqa: BLE001 — delivered to caller
+                results[i] = e
+        return results
+
+    def _prepare_video_group(self, reqs, members, results) -> None:
+        """One batched admission chain for same-shaped video requests:
+        one host→device transfer, one vision encode, one splice, and one
+        prefill per 256-length bucket."""
+        model, cfg = self.model, self.model.cfg
+        stack = np.stack([arr for _, _, arr in members])  # [G, T, H, W, 3]
+        px = jnp.asarray(stack)
+        if stack.dtype == np.uint8:
+            from .ops.image_pipeline import siglip_preprocess_device
+
+            g, t = px.shape[:2]
+            px = siglip_preprocess_device(
+                px.reshape((g * t,) + px.shape[2:]),
+                out_dtype=cfg.compute_dtype,
+            )
+            px = px.reshape((g, t) + px.shape[1:])
+        feats = model.encode_video(px)  # [G, V, d]
+        plan = plan_splice(
+            [ids for _, ids, _ in members],
+            num_video_tokens=feats.shape[1],
+            region_token_counts=[[]] * len(members),
+            region_token_id=model.ids.region,
+            max_seq_len=cfg.budget.max_seq_len,
+            region_stride=cfg.region.region_token_num,
+        )
+        embeds = model._splice(
+            model.params,
+            jnp.asarray(plan.text_ids),
+            jnp.asarray(plan.src_kind),
+            jnp.asarray(plan.src_idx),
+            feats,
+            None,
+        )  # [G, S, d]
+        real_lens = [int(l) for l in plan.seq_lens]
+        buckets: Dict[int, List[int]] = {}
+        for j, rl in enumerate(real_lens):
+            trim = min((rl + 255) // 256 * 256, cfg.budget.max_seq_len)
+            buckets.setdefault(trim, []).append(j)
+        lookup_rows = None
+        if self.spec_k:
+            from .splicing import plan_lookup_ids
+
+            lookup_rows = plan_lookup_ids(plan)
+        for trim, rows in buckets.items():
+            emb = (
+                embeds if len(rows) == len(members)
+                else embeds[jnp.asarray(rows)]
+            )[:, :trim]
+            scratch, t0, _hid, _rng = prefill_start(
+                model.model.llm,
+                model.params["llm"],
+                emb,
+                jnp.asarray(
+                    np.array([real_lens[j] for j in rows], np.int32)
+                ),
+                cache_max_len=trim,
+                vocab_size=cfg.llm.vocab_size,
+                kv_quant=bool(cfg.quant_kv),
+                prefill_chunk=0,
+            )
+            t0h = np.asarray(t0)
+            for rj, j in enumerate(rows):
+                i, _ids, _ = members[j]
+                results[i] = _Prepared(
+                    reqs[i], scratch, rj, int(t0h[rj]), real_lens[j],
+                    lookup_rows[j] if self.spec_k else None,
+                )
+
+    def _prepare_one(self, req: _EngineRequest, input_ids) -> _Prepared:
+        """Solo admission chain (text/image/region requests, or the
+        fallback when a batched group fails)."""
         model, cfg = self.model, self.model.cfg
         s = req.sample
-        modal_token = {
-            "image": DEFAULT_IMAGE_TOKEN, "video": DEFAULT_VIDEO_TOKEN,
-            "text": "",
-        }[req.modal]
-        input_ids = _assemble_input_ids(
-            s["instruct"], req.choice, modal_token, self.tokenizer
-        )
-        if model.ids.seg in input_ids:
-            raise ValueError("engine mode is QA-only ([SEG] in prompt)")
         video_feats = _encode_video_input(model, s.get("video"), req.modal)
         region_feats, region_counts = None, None
         if s.get("frame") is not None and s.get("masks") is not None:
@@ -293,18 +509,32 @@ class StreamingEngine:
             kv_quant=bool(cfg.quant_kv),
             prefill_chunk=0,
         )
+        lookup = None
+        if self.spec_k:
+            from .splicing import plan_lookup_ids
+
+            lookup = plan_lookup_ids(plan)[0]
+        return _Prepared(req, scratch, 0, int(t0[0]), real_len, lookup)
+
+    # ---------------- worker ----------------
+
+    def _install(self, slot: int, prep: _Prepared) -> None:
+        """Splice a prepared request into its slot (the only admission
+        work that touches the decode state — cheap and between chunks)."""
+        cfg = self.model.cfg
         if self.spec_k:
             from .models.speculative import spec_slot_admit
-            from .splicing import plan_lookup_ids
 
             if self._spec_state is None:
                 self._spec_state = self._init_spec_state()
             s_off = cfg.budget.max_seq_len
             row = np.full((s_off + self.max_new_cap,), -1, np.int32)
-            row[:s_off] = plan_lookup_ids(plan)[0]
+            row[:s_off] = prep.lookup_ids
             self._spec_state = spec_slot_admit(
-                self._spec_state, slot, scratch, t0[0],
-                jnp.asarray(real_len, jnp.int32), jnp.asarray(row),
+                self._spec_state, slot, prep.scratch,
+                jnp.asarray(prep.t0, jnp.int32),
+                jnp.asarray(prep.real_len, jnp.int32), jnp.asarray(row),
+                src=prep.src,
             )
         else:
             if self._cache is None:
@@ -312,16 +542,18 @@ class StreamingEngine:
                     cfg.llm, self.max_slots, self.cache_positions,
                     dtype=cfg.compute_dtype, quant=bool(cfg.quant_kv),
                 )
-            self._cache = _copy_slot(self._cache, scratch, slot)
-            self._cache_len[slot] = real_len
-            self._cur[slot] = int(t0[0])
-        st = _SlotState(req, self.tokenizer)
-        self._slots[slot] = st
+            self._cache = _copy_slot(self._cache, prep.scratch, slot,
+                                     prep.src)
+            self._cache_len[slot] = prep.real_len
+            self._cur[slot] = prep.t0
+        st = _SlotState(prep.req, self.tokenizer)
+        self._slots[slot] = st  # occupy BEFORE releasing the reservation
+        self._reserved.discard(slot)
         self._done[slot] = False
         self._forced_done[slot] = False
         with self.stats_lock:
             self._stats["admissions"] += 1
-        self._emit(slot, [int(t0[0])])
+        self._emit(slot, [prep.t0])
 
     def _init_spec_state(self):
         """Zeroed batch-shaped spec loop state (all slots idle == done)."""
@@ -476,37 +708,33 @@ class StreamingEngine:
 
     def _run(self) -> None:
         while True:
-            # admit as many queued requests as there are free slots
-            admitted = False
+            # splice prepared admissions into their slots between chunks
+            installed = False
             while True:
-                slot = self._free_slot()
-                if slot is None:
-                    break
                 try:
-                    req = self._queue.get_nowait()
+                    slot, prep = self._ready.get_nowait()
                 except queue_mod.Empty:
                     break
                 try:
-                    self._admit(slot, req)
-                    with self.stats_lock:
-                        self._stats["requests"] += 1
-                    admitted = True
+                    self._install(slot, prep)
+                    installed = True
                 except Exception as e:  # noqa: BLE001 — delivered to caller
-                    with self.stats_lock:
-                        self._stats["requests"] += 1
-                        self._stats["errors"] += 1
-                    if req.stream:
-                        req.future.finish(e)
-                    else:
-                        req.future.set_exception(e)
+                    self._deliver_error(prep.req, e)
+                    self._reserved.discard(slot)
 
             active = any(s is not None for s in self._slots)
             if not active:
-                # drain-on-close: exit only once the queue is empty too
-                if self._closing and self._queue.empty():
+                # drain-on-close: exit only after the admitter has drained
+                # the queue and retired (it exits on closing+empty), with
+                # nothing left to splice
+                if (
+                    self._closing
+                    and not self._admitter.is_alive()
+                    and self._ready.empty()
+                ):
                     return
-                if not admitted:
-                    time.sleep(0.005)
+                if not installed:
+                    time.sleep(0.002)
                 continue
             try:
                 self._step()

@@ -311,18 +311,27 @@ _spec_step_jit = functools.partial(
 
 
 @jax.jit
-def spec_slot_admit(state, slot, scratch_cache, t0, seq_len, hist_row):
+@functools.partial(jax.jit, donate_argnums=(0,))
+def spec_slot_admit(state, slot, scratch_cache, t0, seq_len, hist_row,
+                    src=0):
     """Reset row ``slot`` of a persistent spec-loop state for a newly
-    admitted request (engine.py spec mode): copy the request's prefilled
-    scratch-cache rows into the slot, seed its token/history buffers with
-    the prefill's first token, and mark it live. Other rows are untouched —
-    every per-row op in ``_spec_body`` is row-independent, so in-flight
-    slots keep decoding bit-identically."""
+    admitted request (engine.py spec mode): copy row ``src`` of the
+    request's prefilled scratch cache (the admission pipeline prefills
+    queued requests in ONE batched dispatch, so the scratch may hold
+    several requests' rows) into the slot, seed its token/history buffers
+    with the prefill's first token, and mark it live. Other rows are
+    untouched — every per-row op in ``_spec_body`` is row-independent, so
+    in-flight slots keep decoding bit-identically. Jitted (the eager
+    version cost ~10 dispatches per admission — pure RTT on the remote
+    runtime) with the old state donated (the cache rewrite would otherwise
+    double the multi-GB state in HBM)."""
     (it, tokens, hiddens, cache, cache_len, cur, done, gen_lens, hist,
      n_drafted, n_accepted) = state
     cache = jax.tree.map(
         lambda c, p: jax.lax.dynamic_update_slice(
-            c, p.astype(c.dtype), (0, slot) + (0,) * (p.ndim - 2)
+            c,
+            jax.lax.dynamic_slice_in_dim(p, src, 1, axis=1).astype(c.dtype),
+            (0, slot) + (0,) * (p.ndim - 2),
         ),
         cache, scratch_cache,
     )
