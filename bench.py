@@ -370,6 +370,8 @@ def bench_e2e(
     kv_quant: bool = False,
     llm_quant="int8",
     vision_quant: bool = False,
+    spec: int = 0,
+    spec_best: bool = False,
 ):
     """Full PixRQA-style pipeline on one chip (BASELINE.json metric
     'PixRQA e2e latency'): 32-frame SigLIP encode → STC projector → splice →
@@ -380,6 +382,16 @@ def bench_e2e(
     the serving-throughput configuration: encode/prefill/decode batch over
     videos (amortizing the decode loop's weight traffic — the dominant
     batch-1 cost) and SAM2 propagation loops per video.
+
+    ``spec`` > 0 composes prompt-lookup speculative decoding into the
+    pipeline (the composite is decode-weight-traffic dominated, and
+    speculation is the one mechanism that attacks that term: accepted
+    drafts share a weight pass). Acceptance is workload-dependent, so the
+    two brackets are measured: ``spec_best`` zeroes the LLM weights
+    (constant logits → all drafts accepted — the upper bound) and the
+    default random weights accept ~nothing (plain decode + free verify —
+    the floor). Greedy-exactness of the spec path is unconditional
+    (tests/test_speculative.py).
     """
     import dataclasses
 
@@ -411,6 +423,10 @@ def bench_e2e(
 
     shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0)))
     params = _random_params(shapes)
+    if spec and spec_best:
+        # constant logits → every draft accepted (see docstring); towers
+        # stay random so encode/SAM cost is honest
+        params["llm"] = jax.tree.map(jnp.zeros_like, params["llm"])
     params["sam"] = _random_params(
         jax.eval_shape(
             lambda: sam.init(
@@ -480,21 +496,36 @@ def bench_e2e(
             )
             for i in range(0, batch, chunk)
         ]) if batch > chunk else front(params, pixels, tids, kind, idx)
-        res = greedy_generate(
-            model.llm, params["llm"], embeds,
-            jnp.asarray(plan.seq_lens),
-            max_new_tokens=new_tokens, stop_ids=(-1,),
-            cache_max_len=trim + new_tokens,
-            kv_quant=kv_quant,
-            # batch prefill transients (one MLP activation is [B*S, 18944])
-            # dominate peak HBM at serving batches; chunked prefill bounds
-            # them while the decode loop stays fully batched
-            prefill_chunk=int(
-                os.environ.get(
-                    "UFVIDEO_PREFILL_CHUNK", "4" if batch > 4 else "0"
-                )
-            ),
+        prefill_chunk = int(
+            os.environ.get(
+                "UFVIDEO_PREFILL_CHUNK", "4" if batch > 4 else "0"
+            )
         )
+        if spec:
+            from ufvideo_tpu.models.speculative import spec_generate
+            from ufvideo_tpu.splicing import plan_lookup_ids
+
+            res = spec_generate(
+                model.llm, params["llm"], embeds,
+                jnp.asarray(plan.seq_lens),
+                jnp.asarray(plan_lookup_ids(plan))[:, :trim],
+                max_new_tokens=new_tokens, stop_ids=(-1,),
+                cache_max_len=trim + new_tokens + spec, draft_k=spec,
+                kv_quant=kv_quant, prefill_chunk=prefill_chunk,
+            )
+        else:
+            res = greedy_generate(
+                model.llm, params["llm"], embeds,
+                jnp.asarray(plan.seq_lens),
+                max_new_tokens=new_tokens, stop_ids=(-1,),
+                cache_max_len=trim + new_tokens,
+                kv_quant=kv_quant,
+                # batch prefill transients (one MLP activation is
+                # [B*S, 18944]) dominate peak HBM at serving batches;
+                # chunked prefill bounds them while the decode loop stays
+                # fully batched
+                prefill_chunk=prefill_chunk,
+            )
         seg_embed = model.seg_embeddings(params, res.hidden[:, :1, :])
         fchunk = chunk * sam_frames
         if batch > chunk:
@@ -533,6 +564,8 @@ def bench_e2e(
         name += "_int4"
     if vision_quant:
         name += "_int8v"
+    if spec:
+        name += f"_spec{spec}_" + ("best" if spec_best else "worst")
     return name, batch / dt, "videos/s/chip"
 
 
@@ -648,13 +681,17 @@ def _cache_is_warm() -> bool:
 
 
 def bench_serve_loadtest(
-    clients: int = 8, requests: int = 32, max_new: int = 64
+    clients: int = 8, requests: int = 32, max_new: int = 64, spec: int = 0
 ):
     """Serving-core offered-load benchmark: drives scripts/loadtest.py
     (StreamingEngine, int8 LLM, random weights) in a subprocess and reports
     aggregate requests/s. Token work per request is fixed (stop ids
     unreachable on random weights), so the number measures the continuous-
-    batching engine, not model quality."""
+    batching engine, not model quality. ``spec`` composes prompt-lookup
+    speculation into the engine (spec_k); random weights accept ~no drafts,
+    so this is the speculation FLOOR under load (verify-pass overhead
+    included) — the engine's measured acceptance rate is echoed on stderr
+    for PERF.md."""
     import subprocess
 
     script = os.path.join(
@@ -665,6 +702,7 @@ def bench_serve_loadtest(
             sys.executable, script, "--quant", "int8", "--mode", "engine",
             "--clients", str(clients), "--requests", str(requests),
             "--max-new", str(max_new), "--max-batch", "8",
+            "--spec", str(spec),
         ],
         capture_output=True,
         text=True,
@@ -675,11 +713,15 @@ def bench_serve_loadtest(
     for line in reversed(r.stdout.strip().splitlines()):
         try:
             d = json.loads(line)
-            return (
-                "serve_loadtest_requests_per_sec",
-                float(d["requests_per_s"]),
-                "requests/s/chip",
-            )
+            stats = d.get("backend_stats", {})
+            if "spec" in stats:
+                print(
+                    f"spec acceptance: {stats['spec']}", file=sys.stderr
+                )
+            name = "serve_loadtest_requests_per_sec"
+            if spec:
+                name = f"serve_loadtest_spec{spec}_requests_per_sec"
+            return name, float(d["requests_per_s"]), "requests/s/chip"
         except (ValueError, KeyError):
             continue
     raise RuntimeError("loadtest printed no JSON")
@@ -737,6 +779,13 @@ def _mode_fns():
         "e2e_int8v": lambda: bench_e2e(vision_quant=True),
         "e2e_batch_int8v": lambda: bench_e2e(batch=8, vision_quant=True),
         "serve_loadtest": bench_serve_loadtest,
+        "serve_loadtest_spec4": lambda: bench_serve_loadtest(spec=4),
+        "e2e_batch_int8v_spec_best": lambda: bench_e2e(
+            batch=8, vision_quant=True, spec=4, spec_best=True
+        ),
+        "e2e_batch_int8v_spec_worst": lambda: bench_e2e(
+            batch=8, vision_quant=True, spec=4, spec_best=False
+        ),
         "e2e_batch16": lambda: bench_e2e(batch=16, kv_quant=True),
         "e2e_batch16_int4": lambda: bench_e2e(
             batch=16, kv_quant=True, llm_quant="int4"

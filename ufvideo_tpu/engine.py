@@ -143,12 +143,17 @@ class StreamingEngine:
         max_new_cap: int = 512,
         max_queue: int = 256,
         spec_k: int = 0,
+        admit_batch: int = 0,
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer
         self.max_slots = int(max_slots)
         self.chunk = int(chunk)
         self.max_new_cap = int(max_new_cap)
+        # cap on how many queued requests share one admission dispatch
+        # chain (default: the slot count). Lower it when scratch-prefill
+        # HBM transients at full width are too tight for the chip.
+        self.admit_batch = int(admit_batch) or self.max_slots
         # spec_k > 0: slot batching composes with prompt-lookup speculative
         # decoding — the spec loop state is already batch-shaped, so each
         # step is one draft→verify pass over every active slot (1..K+1
@@ -321,7 +326,7 @@ class StreamingEngine:
                     break
                 time.sleep(0.002)
             reqs = [req]
-            while len(reqs) < len(free):
+            while len(reqs) < min(len(free), self.admit_batch):
                 try:
                     reqs.append(self._queue.get_nowait())
                 except queue_mod.Empty:
@@ -399,12 +404,25 @@ class StreamingEngine:
                 results[i] = e
         return results
 
+    @staticmethod
+    def _pow2pad(items: list) -> list:
+        """Pad a list to the next power-of-two length by repeating its
+        last element. Every admission stage is row-independent, so dummy
+        rows never perturb real rows — they exist purely to bound the
+        compile-variant count (each distinct batch shape costs a multi-
+        minute remote compile) to log2(max_slots) per stage."""
+        n = len(items)
+        target = 1 << max(n - 1, 0).bit_length()
+        return items + [items[-1]] * (target - n)
+
     def _prepare_video_group(self, reqs, members, results) -> None:
         """One batched admission chain for same-shaped video requests:
         one host→device transfer, one vision encode, one splice, and one
-        prefill per 256-length bucket."""
+        prefill per 256-length bucket. Batch dims are padded to powers of
+        two (see ``_pow2pad``)."""
         model, cfg = self.model, self.model.cfg
-        stack = np.stack([arr for _, _, arr in members])  # [G, T, H, W, 3]
+        padded = self._pow2pad(list(members))
+        stack = np.stack([arr for _, _, arr in padded])  # [Gp, T, H, W, 3]
         px = jnp.asarray(stack)
         if stack.dtype == np.uint8:
             from .ops.image_pipeline import siglip_preprocess_device
@@ -415,11 +433,11 @@ class StreamingEngine:
                 out_dtype=cfg.compute_dtype,
             )
             px = px.reshape((g, t) + px.shape[1:])
-        feats = model.encode_video(px)  # [G, V, d]
+        feats = model.encode_video(px)  # [Gp, V, d]
         plan = plan_splice(
-            [ids for _, ids, _ in members],
+            [ids for _, ids, _ in padded],
             num_video_tokens=feats.shape[1],
-            region_token_counts=[[]] * len(members),
+            region_token_counts=[[]] * len(padded),
             region_token_id=model.ids.region,
             max_seq_len=cfg.budget.max_seq_len,
             region_stride=cfg.region.region_token_num,
@@ -443,16 +461,14 @@ class StreamingEngine:
 
             lookup_rows = plan_lookup_ids(plan)
         for trim, rows in buckets.items():
-            emb = (
-                embeds if len(rows) == len(members)
-                else embeds[jnp.asarray(rows)]
-            )[:, :trim]
+            prows = self._pow2pad(rows)
+            emb = embeds[jnp.asarray(prows)][:, :trim]
             scratch, t0, _hid, _rng = prefill_start(
                 model.model.llm,
                 model.params["llm"],
                 emb,
                 jnp.asarray(
-                    np.array([real_lens[j] for j in rows], np.int32)
+                    np.array([real_lens[j] for j in prows], np.int32)
                 ),
                 cache_max_len=trim,
                 vocab_size=cfg.llm.vocab_size,
@@ -461,6 +477,8 @@ class StreamingEngine:
             )
             t0h = np.asarray(t0)
             for rj, j in enumerate(rows):
+                if j >= len(members):
+                    continue  # pow2-padding dummy row
                 i, _ids, _ = members[j]
                 results[i] = _Prepared(
                     reqs[i], scratch, rj, int(t0h[rj]), real_lens[j],
