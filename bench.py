@@ -230,6 +230,8 @@ def bench_decode(
     name += "_kvq8" if kv_quant else ""
     if batch > 1:
         name += f"_batch{batch}"
+    if prompt_len != 512:
+        name += f"_c{(prompt_len + new_tokens) // 1024}k"
     if num_layers:
         name += f"_L{num_layers}"
     if vocab_size:
@@ -768,6 +770,24 @@ def _mode_fns():
         # on-chip decode-cost bisection (see bench_decode docstring)
         "decode_int8_L14": lambda: bench_decode(quant=True, num_layers=14),
         "decode_int8_v50k": lambda: bench_decode(quant=True, vocab_size=50304),
+        # long-context decode: where the KV-cache read starts to rival the
+        # int8 weight traffic, and where kvq8 should start paying (VERDICT
+        # r4 #8; reference context_len 2048, model/__init__.py:149-152).
+        # Cache ≈ prompt + 64 new tokens; per-step cache read at 4k ≈
+        # 28L×2×4H×4096×128×2B = 235 MB vs 7.6 GB weights (~3%), at 16k
+        # (4x the reference budget, engine long-context headroom) ~13%.
+        "decode_int8_c2k": lambda: bench_decode(
+            quant=True, prompt_len=2048 - 64),
+        "decode_int8_c4k": lambda: bench_decode(
+            quant=True, prompt_len=4096 - 64),
+        "decode_int8_c16k": lambda: bench_decode(
+            quant=True, prompt_len=16384 - 64),
+        "decode_int8_kvq8_c2k": lambda: bench_decode(
+            quant=True, kv_quant=True, prompt_len=2048 - 64),
+        "decode_int8_kvq8_c4k": lambda: bench_decode(
+            quant=True, kv_quant=True, prompt_len=4096 - 64),
+        "decode_int8_kvq8_c16k": lambda: bench_decode(
+            quant=True, kv_quant=True, prompt_len=16384 - 64),
         # speculative-decode acceptance brackets (see bench_decode_spec)
         "decode_int8_spec_best": lambda: bench_decode_spec(best=True),
         "decode_int8_spec_worst": lambda: bench_decode_spec(best=False),

@@ -172,6 +172,14 @@ class StreamingEngine:
         self._stats = {
             "requests": 0, "completed": 0, "errors": 0, "chunks": 0,
             "admissions": 0, "spec_drafted": 0, "spec_accepted": 0,
+            # admission-pipeline telemetry. Host wall seconds at the
+            # thread's sync points — on remote runtimes dispatches are
+            # async and block_until_ready is a no-op, so "prep_s" (ends at
+            # the prefill t0 readback) absorbs the whole upstream chain
+            # and "step_s" (ends at the chunk token readback) absorbs the
+            # decode dispatches.
+            "admit_batches": 0, "admit_batched_requests": 0,
+            "prep_s": 0.0, "install_s": 0.0, "step_s": 0.0,
         }
         # host copy of the per-slot spec counters as of the LAST step; rows
         # accumulate into the cumulative stats at retirement (the device
@@ -252,6 +260,8 @@ class StreamingEngine:
         with self.stats_lock:
             s = dict(self._stats)
             lat = sorted(self._lat[-512:])
+        for key in ("prep_s", "install_s", "step_s"):
+            s[key] = round(s[key], 3)
         s["active_slots"] = sum(sl is not None for sl in self._slots)
         # pending = queued + prepared-awaiting-splice (the admission
         # pipeline's in-flight work is not yet an "admission")
@@ -421,6 +431,7 @@ class StreamingEngine:
         prefill per 256-length bucket. Batch dims are padded to powers of
         two (see ``_pow2pad``)."""
         model, cfg = self.model, self.model.cfg
+        t_start = time.perf_counter()
         padded = self._pow2pad(list(members))
         stack = np.stack([arr for _, _, arr in padded])  # [Gp, T, H, W, 3]
         px = jnp.asarray(stack)
@@ -484,10 +495,15 @@ class StreamingEngine:
                     reqs[i], scratch, rj, int(t0h[rj]), real_lens[j],
                     lookup_rows[j] if self.spec_k else None,
                 )
+        with self.stats_lock:
+            self._stats["admit_batches"] += 1
+            self._stats["admit_batched_requests"] += len(members)
+            self._stats["prep_s"] += time.perf_counter() - t_start
 
     def _prepare_one(self, req: _EngineRequest, input_ids) -> _Prepared:
         """Solo admission chain (text/image/region requests, or the
         fallback when a batched group fails)."""
+        t_start = time.perf_counter()
         model, cfg = self.model, self.model.cfg
         s = req.sample
         video_feats = _encode_video_input(model, s.get("video"), req.modal)
@@ -532,13 +548,17 @@ class StreamingEngine:
             from .splicing import plan_lookup_ids
 
             lookup = plan_lookup_ids(plan)[0]
-        return _Prepared(req, scratch, 0, int(t0[0]), real_len, lookup)
+        prep = _Prepared(req, scratch, 0, int(t0[0]), real_len, lookup)
+        with self.stats_lock:
+            self._stats["prep_s"] += time.perf_counter() - t_start
+        return prep
 
     # ---------------- worker ----------------
 
     def _install(self, slot: int, prep: _Prepared) -> None:
         """Splice a prepared request into its slot (the only admission
         work that touches the decode state — cheap and between chunks)."""
+        t_start = time.perf_counter()
         cfg = self.model.cfg
         if self.spec_k:
             from .models.speculative import spec_slot_admit
@@ -571,6 +591,7 @@ class StreamingEngine:
         self._forced_done[slot] = False
         with self.stats_lock:
             self._stats["admissions"] += 1
+            self._stats["install_s"] += time.perf_counter() - t_start
         self._emit(slot, [prep.t0])
 
     def _init_spec_state(self):
@@ -654,6 +675,7 @@ class StreamingEngine:
         """One decode dispatch over every active slot: a ``chunk``-step
         decode_chunk in plain mode, or one draft→verify spec iteration
         (1..K+1 tokens per slot) in spec mode."""
+        t_start = time.perf_counter()
         cfg = self.model.cfg
         if self.spec_k:
             from .models.speculative import _spec_step_jit, spec_set_done
@@ -690,6 +712,8 @@ class StreamingEngine:
                     self._emit(slot, tokens[slot, prev:new].tolist())
                 if self._slots[slot] is not None and self._done[slot]:
                     self._retire(slot)
+            with self.stats_lock:
+                self._stats["step_s"] += time.perf_counter() - t_start
             return
         tokens, n, _hiddens, self._cache, cache_len, cur, done, _rng = (
             decode_chunk(
@@ -723,6 +747,8 @@ class StreamingEngine:
                 # eos landed in-chunk but _emit kept the slot (no budget /
                 # stop-string hit) — retire on the device's verdict
                 self._retire(slot)
+        with self.stats_lock:
+            self._stats["step_s"] += time.perf_counter() - t_start
 
     def _run(self) -> None:
         while True:
