@@ -1411,3 +1411,501 @@ def _w8a8_bwd(num_heads, head_dim, head_pad, interpret, act, eps, res, g):
 
 
 fused_block_w8a8.defvjp(_w8a8_fwd, _w8a8_bwd)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 variants of the special-block kernels (q-pool / global / dim-change —
+# Hiera-L i = 2, 8, 23, 33, 43, 44; reference sam2.py:1085-1131). Round 4
+# left these 6 blocks on unfused XLA W8A8Dense while the 42 plain windowed
+# blocks got the fused int8 whole-block kernel; these give them the same
+# fused structure (one/three HBM round-trips, VMEM-resident quantize +
+# rescale) with s8×s8→s32 MXU dots. Quantization points match W8A8Dense:
+# per-row int8 off the f32 LN/attention/GELU outputs.
+# ---------------------------------------------------------------------------
+
+
+def _qdot_ref(x32, w_q, ws, b):
+    """XLA-reference W8A8 dot with the kernels' exact quantize points."""
+    q, xs = _quant_rows_f32(x32.astype(jnp.float32).reshape(-1, x32.shape[-1]))
+    acc = jax.lax.dot_general(
+        q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = (
+        acc.astype(jnp.float32) * xs * ws.astype(jnp.float32)[None, :]
+        + b.astype(jnp.float32)[None, :]
+    )
+    return out.reshape(x32.shape[:-1] + (w_q.shape[1],))
+
+
+def _qpool_w8a8_kernel(
+    x_ref,  # [bw, S, Cin]
+    ln1_s_ref, ln1_b_ref,  # [1, Cin] f32
+    wf_ref, sf_ref, bf_ref,  # int8 [Cin, 3*H*hp + Cout], scales/bias [1, .]
+    wp_ref, sp_ref, bp_ref,  # int8 [H*hp, Cout], [1, Cout] ×2
+    ln2_s_ref, ln2_b_ref,  # [1, Cout]
+    w1_ref, s1_ref, b1_ref,  # int8 [Cout, M], [1, M] ×2
+    w2_ref, s2_ref, b2_ref,  # int8 [M, Cout], [1, Cout] ×2
+    o_ref,  # [bw, sq, Cout]
+    att_ref,  # scratch [bw*sq, H*hp]
+    *,
+    num_heads: int,
+    head_dim: int,
+    head_pad: int,
+    ws: int,
+    sy: int,
+    sx: int,
+    bw: int,
+    gw: int,
+    act: str,
+    eps: float,
+):
+    s = ws * ws
+    sq = (ws // sy) * (ws // sx)
+    rows = bw * s
+    hp = head_pad
+    hw = num_heads * hp
+    scale = head_dim ** -0.5
+    dtype = x_ref.dtype
+
+    def qdot(q, xs, w_ref_, s_ref_, b_ref_):
+        acc = jax.lax.dot_general(
+            q, w_ref_[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * xs * s_ref_[0, :] + b_ref_[0, :]
+
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])
+    xn = _layernorm(
+        x.astype(jnp.float32), ln1_s_ref[0, :], ln1_b_ref[0, :], eps
+    )
+    q1, s1x = _quant_rows_f32(xn)
+    front = qdot(q1, s1x, wf_ref, sf_ref, bf_ref).astype(dtype)
+
+    def pool(v):  # [rows, D] -> [bw*sq, D]
+        d = v.shape[-1]
+        v6 = v.reshape(bw, ws // sy, sy, ws // sx, sx, d)
+        return jnp.max(jnp.max(v6, axis=4), axis=2).reshape(bw * sq, d)
+
+    qp = pool(front[:, :hw])
+    sc = pool(front[:, 3 * hw :])
+
+    grows_q = gw * sq
+    grows_k = gw * s
+    if gw > 1:
+        win_r = jax.lax.broadcasted_iota(jnp.int32, (grows_q, grows_k), 0) // sq
+        win_c = jax.lax.broadcasted_iota(jnp.int32, (grows_q, grows_k), 1) // s
+        same = win_r == win_c
+    for g in range(bw // gw):
+        slq = slice(g * grows_q, (g + 1) * grows_q)
+        slk = slice(g * grows_k, (g + 1) * grows_k)
+        for h in range(num_heads):
+            q = (
+                qp[slq, h * hp : (h + 1) * hp].astype(jnp.float32)
+                * (scale * _LOG2E)
+            ).astype(dtype)
+            k = front[slk, hw + h * hp : hw + (h + 1) * hp]
+            v = front[slk, 2 * hw + h * hp : 2 * hw + (h + 1) * hp]
+            sdot = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if gw > 1:
+                sdot = jnp.where(same, sdot, _NEG_INF)
+            m = jnp.max(sdot, axis=-1, keepdims=True)
+            p = jnp.exp2((sdot - m).astype(dtype))
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+            att_ref[slq, h * hp : (h + 1) * hp] = o.astype(dtype)
+
+    qa, sa = _quant_rows_f32(att_ref[...].astype(jnp.float32))
+    x1 = sc + qdot(qa, sa, wp_ref, sp_ref, bp_ref).astype(dtype)
+    xm = _layernorm(
+        x1.astype(jnp.float32), ln2_s_ref[0, :], ln2_b_ref[0, :], eps
+    )
+    qm, sm = _quant_rows_f32(xm)
+    hmid = _ACTS[act](qdot(qm, sm, w1_ref, s1_ref, b1_ref))
+    qh, sh = _quant_rows_f32(hmid)
+    mlp = qdot(qh, sh, w2_ref, s2_ref, b2_ref).astype(dtype)
+    o_ref[...] = (x1 + mlp).reshape(o_ref.shape)
+
+
+def _qpool_w8a8_reference(
+    x, params, num_heads, head_dim, head_pad, q_stride, act="gelu_exact",
+    eps=1e-6,
+):
+    """XLA reference with the kernel's exact quantization points."""
+    (ln1_s, ln1_b, wf, sf, bf, wproj, sproj, bproj, ln2_s, ln2_b,
+     w1, s1, b1, w2, s2, b2) = params
+    n, s, _ = x.shape
+    ws = int(round(s ** 0.5))
+    sy, sx = q_stride
+    sq = (ws // sy) * (ws // sx)
+    hp = head_pad
+    hw = num_heads * hp
+    dtype = x.dtype
+    xn = _layernorm(x.astype(jnp.float32), ln1_s, ln1_b, eps)
+    front = _qdot_ref(xn, wf, sf, bf).astype(dtype)
+
+    def pool(v):  # [n, s, d] -> [n, sq, d]
+        d = v.shape[-1]
+        v6 = v.reshape(n, ws // sy, sy, ws // sx, sx, d)
+        return jnp.max(jnp.max(v6, axis=4), axis=2).reshape(n, sq, d)
+
+    qp = pool(front[..., :hw]).reshape(n, sq, num_heads, hp)
+    sc = pool(front[..., 3 * hw :])
+    kh = front[..., hw : 2 * hw].reshape(n, s, num_heads, hp)
+    vh = front[..., 2 * hw : 3 * hw].reshape(n, s, num_heads, hp)
+    logits = (
+        jnp.einsum("nqhd,nkhd->nhqk", qp, kh,
+                   preferred_element_type=jnp.float32)
+        * head_dim ** -0.5
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum(
+        "nhqk,nkhd->nqhd", probs.astype(dtype), vh,
+        preferred_element_type=jnp.float32,
+    ).reshape(n, sq, hw)
+    x1 = sc + _qdot_ref(o, wproj, sproj, bproj).astype(dtype)
+    xm = _layernorm(x1.astype(jnp.float32), ln2_s, ln2_b, eps)
+    h = _ACTS[act](_qdot_ref(xm, w1, s1, b1))
+    return x1 + _qdot_ref(h, w2, s2, b2).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def fused_qpool_block_w8a8(
+    x: jnp.ndarray,  # [N, S, Cin] window-major tokens, S = ws²
+    params: tuple,  # (ln1_s, ln1_b, wf_q, sf, bf, wproj_q, sproj, bproj,
+    #                 ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2)
+    num_heads: int,
+    head_dim: int,
+    head_pad: int = 0,
+    q_stride: tuple = (2, 2),
+    interpret: bool = False,
+    act: str = "gelu_exact",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """W8A8 q-pooling stage-transition block → [N, S/(sy·sx), Cout]."""
+    return _qpool_w8a8_forward(
+        x, params, num_heads, head_dim, head_pad, q_stride, interpret, act,
+        eps,
+    )
+
+
+def _qpool_w8a8_forward(
+    x, params, num_heads, head_dim, head_pad, q_stride, interpret, act, eps
+):
+    n, s, cin = x.shape
+    hp = head_pad or head_dim
+    if not interpret and jax.default_backend() != "tpu":
+        return _qpool_w8a8_reference(
+            x, params, num_heads, head_dim, hp, q_stride, act, eps
+        )
+    (ln1_s, ln1_b, wf, sf, bf, wproj, sproj, bproj, ln2_s, ln2_b,
+     w1, s1, b1, w2, s2, b2) = params
+    ws = int(round(s ** 0.5))
+    assert ws * ws == s, s
+    sy, sx = q_stride
+    sq = (ws // sy) * (ws // sx)
+    cout = wproj.shape[1]
+    mlp_dim = w1.shape[1]
+    gw = max(1, 128 // sq)
+    while gw > 1 and n % gw != 0:
+        gw //= 2
+    bw = gw
+    while (
+        bw * 2 * s <= 1024
+        and n % (bw * 2) == 0
+        and (bw * 2 // gw) * num_heads <= 64
+    ):
+        bw *= 2
+    gw = min(gw, bw)
+    kernel = functools.partial(
+        _qpool_w8a8_kernel, num_heads=num_heads, head_dim=head_dim,
+        head_pad=hp, ws=ws, sy=sy, sx=sx, bw=bw, gw=gw, act=act, eps=eps,
+    )
+    f32 = jnp.float32
+    vec = lambda a: a.reshape(1, -1).astype(f32)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, s, cin), lambda i: (i, 0, 0)),
+            full((1, cin)), full((1, cin)),
+            full(wf.shape), full((1, wf.shape[1])), full((1, wf.shape[1])),
+            full(wproj.shape), full((1, cout)), full((1, cout)),
+            full((1, cout)), full((1, cout)),
+            full(w1.shape), full((1, mlp_dim)), full((1, mlp_dim)),
+            full(w2.shape), full((1, cout)), full((1, cout)),
+        ],
+        out_specs=pl.BlockSpec((bw, sq, cout), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, sq, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bw * sq, num_heads * hp), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        vec(ln1_s), vec(ln1_b),
+        wf, vec(sf), vec(bf),
+        wproj, vec(sproj), vec(bproj),
+        vec(ln2_s), vec(ln2_b),
+        w1, vec(s1), vec(b1),
+        w2, vec(s2), vec(b2),
+    )
+
+
+def _qpool_w8a8_fwd(x, params, num_heads, head_dim, head_pad, q_stride,
+                    interpret, act, eps):
+    return (
+        fused_qpool_block_w8a8(
+            x, params, num_heads, head_dim, head_pad, q_stride, interpret,
+            act, eps,
+        ),
+        (x, params),
+    )
+
+
+def _qpool_w8a8_bwd(num_heads, head_dim, head_pad, q_stride, interpret, act,
+                    eps, res, g):
+    # STE like fused_block_w8a8: backward through the float q-pool
+    # reference on dequantized weights (int8 leaves get float0 cotangents).
+    x, params = res
+
+    def deq_ref(xx, pp):
+        (ln1_s, ln1_b, wf, sf, bf, wproj, sproj, bproj, ln2_s, ln2_b,
+         w1, s1, b1, w2, s2, b2) = pp
+        f32 = jnp.float32
+        deq = lambda w, s_: (w.astype(f32) * s_.astype(f32)[None, :]).astype(
+            xx.dtype
+        )
+        fp = (ln1_s, ln1_b, deq(wf, sf), bf.astype(xx.dtype),
+              deq(wproj, sproj), bproj.astype(xx.dtype), ln2_s, ln2_b,
+              deq(w1, s1), b1.astype(xx.dtype), deq(w2, s2),
+              b2.astype(xx.dtype))
+        return _qpool_reference(
+            xx, fp, num_heads, head_dim, head_pad or head_dim, q_stride,
+            act, eps,
+        )
+
+    _, vjp = jax.vjp(deq_ref, x, params)
+    return vjp(g)
+
+
+fused_qpool_block_w8a8.defvjp(_qpool_w8a8_fwd, _qpool_w8a8_bwd)
+
+
+def _ln_matmul_w8a8_kernel(
+    x_ref,  # [bw, S, C]
+    ln_s_ref, ln_b_ref,  # [1, C] f32
+    w_ref, s_ref, b_ref,  # int8 [C, D], [1, D] ×2
+    o_ref,  # [bw, S, D]
+    *,
+    eps: float,
+):
+    rows = x_ref.shape[0] * x_ref.shape[1]
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])
+    xn = _layernorm(
+        x.astype(jnp.float32), ln_s_ref[0, :], ln_b_ref[0, :], eps
+    )
+    q, xs = _quant_rows_f32(xn)
+    acc = jax.lax.dot_general(
+        q, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o = (acc.astype(jnp.float32) * xs * s_ref[0, :] + b_ref[0, :]).astype(
+        o_ref.dtype
+    )
+    o_ref[...] = o.reshape(o_ref.shape)
+
+
+def _ln_matmul_w8a8_reference(x, ln_s, ln_b, w, s, b, eps):
+    xn = _layernorm(x.astype(jnp.float32), ln_s, ln_b, eps)
+    return _qdot_ref(xn, w, s, b).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_ln_matmul_w8a8(
+    x: jnp.ndarray,  # [N, S, C]
+    ln_s, ln_b, w, s, b,
+    interpret: bool = False,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """LayerNorm → per-row quantize → s8×s8→s32 matmul → rescale+bias in
+    one pass (the LN1→qkv front of an int8 global block)."""
+    return _ln_matmul_w8a8_forward(x, ln_s, ln_b, w, s, b, interpret, eps)
+
+
+def _ln_matmul_w8a8_forward(x, ln_s, ln_b, w, s, b, interpret, eps):
+    n, sl, c = x.shape
+    d = w.shape[1]
+    if not interpret and jax.default_backend() != "tpu":
+        return _ln_matmul_w8a8_reference(x, ln_s, ln_b, w, s, b, eps)
+    bw = 1
+    while bw * 2 * sl <= 1024 and n % (bw * 2) == 0:
+        bw *= 2
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    f32 = jnp.float32
+    vec = lambda a: a.reshape(1, -1).astype(f32)
+    return pl.pallas_call(
+        functools.partial(_ln_matmul_w8a8_kernel, eps=eps),
+        grid=(n // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, sl, c), lambda i: (i, 0, 0)),
+            full((1, c)), full((1, c)),
+            full(w.shape), full((1, d)), full((1, d)),
+        ],
+        out_specs=pl.BlockSpec((bw, sl, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, sl, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(x, vec(ln_s), vec(ln_b), w, vec(s), vec(b))
+
+
+def _ln_matmul_w8a8_fwd(x, ln_s, ln_b, w, s, b, interpret, eps):
+    return (
+        fused_ln_matmul_w8a8(x, ln_s, ln_b, w, s, b, interpret, eps),
+        (x, ln_s, ln_b, w, s, b),
+    )
+
+
+def _ln_matmul_w8a8_bwd(interpret, eps, res, g):
+    x, ln_s, ln_b, w, s, b = res
+    f32 = jnp.float32
+
+    def deq_ref(xx, ls, lb, ww, ss, bb):
+        wd = (ww.astype(f32) * ss.astype(f32)[None, :]).astype(xx.dtype)
+        return _ln_matmul_reference(xx, ls, lb, wd, bb.astype(xx.dtype), eps)
+
+    _, vjp = jax.vjp(deq_ref, x, ln_s, ln_b, w, s, b)
+    return vjp(g)
+
+
+fused_ln_matmul_w8a8.defvjp(_ln_matmul_w8a8_fwd, _ln_matmul_w8a8_bwd)
+
+
+def _tail_w8a8_kernel(
+    sc_ref,  # [bw, S, C] shortcut
+    att_ref,  # [bw, S, A] attention output (pre-proj)
+    wp_ref, sp_ref, bp_ref,  # int8 [A, C], [1, C] ×2
+    ln2_s_ref, ln2_b_ref,  # [1, C]
+    w1_ref, s1_ref, b1_ref,  # int8 [C, M], [1, M] ×2
+    w2_ref, s2_ref, b2_ref,  # int8 [M, C], [1, C] ×2
+    o_ref,  # [bw, S, C]
+    *,
+    act: str,
+    eps: float,
+):
+    rows = sc_ref.shape[0] * sc_ref.shape[1]
+    dtype = sc_ref.dtype
+    sc = sc_ref[...].reshape(rows, sc_ref.shape[-1])
+    att = att_ref[...].reshape(rows, att_ref.shape[-1])
+
+    def qdot(q, xs, w_ref_, s_ref_, b_ref_):
+        acc = jax.lax.dot_general(
+            q, w_ref_[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * xs * s_ref_[0, :] + b_ref_[0, :]
+
+    qa, sa = _quant_rows_f32(att.astype(jnp.float32))
+    x1 = sc + qdot(qa, sa, wp_ref, sp_ref, bp_ref).astype(dtype)
+    xm = _layernorm(
+        x1.astype(jnp.float32), ln2_s_ref[0, :], ln2_b_ref[0, :], eps
+    )
+    qm, sm = _quant_rows_f32(xm)
+    hmid = _ACTS[act](qdot(qm, sm, w1_ref, s1_ref, b1_ref))
+    qh, sh = _quant_rows_f32(hmid)
+    mlp = qdot(qh, sh, w2_ref, s2_ref, b2_ref).astype(dtype)
+    o_ref[...] = (x1 + mlp).reshape(o_ref.shape)
+
+
+def _tail_w8a8_reference(shortcut, att, params, act, eps):
+    (wproj, sproj, bproj, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2) = params
+    dtype = shortcut.dtype
+    x1 = shortcut + _qdot_ref(att, wproj, sproj, bproj).astype(dtype)
+    xm = _layernorm(x1.astype(jnp.float32), ln2_s, ln2_b, eps)
+    h = _ACTS[act](_qdot_ref(xm, w1, s1, b1))
+    return x1 + _qdot_ref(h, w2, s2, b2).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_block_tail_w8a8(
+    shortcut: jnp.ndarray,  # [N, S, C]
+    att: jnp.ndarray,  # [N, S, A] pre-proj attention output
+    params: tuple,  # (wproj_q, sproj, bproj, ln2_s, ln2_b,
+    #                 w1_q, s1, b1, w2_q, s2, b2)
+    interpret: bool = False,
+    act: str = "gelu_exact",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """W8A8 proj → +residual → LN2 → MLP → +residual in one pass."""
+    return _tail_w8a8_forward(shortcut, att, params, interpret, act, eps)
+
+
+def _tail_w8a8_forward(shortcut, att, params, interpret, act, eps):
+    (wproj, sproj, bproj, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2) = params
+    n, sl, c = shortcut.shape
+    a = att.shape[-1]
+    m = w1.shape[1]
+    if not interpret and jax.default_backend() != "tpu":
+        return _tail_w8a8_reference(shortcut, att, params, act, eps)
+    bw = 1
+    while bw * 2 * sl <= 1024 and n % (bw * 2) == 0:
+        bw *= 2
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    f32 = jnp.float32
+    vec = lambda x_: x_.reshape(1, -1).astype(f32)
+    return pl.pallas_call(
+        functools.partial(_tail_w8a8_kernel, act=act, eps=eps),
+        grid=(n // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, sl, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bw, sl, a), lambda i: (i, 0, 0)),
+            full(wproj.shape), full((1, c)), full((1, c)),
+            full((1, c)), full((1, c)),
+            full(w1.shape), full((1, m)), full((1, m)),
+            full(w2.shape), full((1, c)), full((1, c)),
+        ],
+        out_specs=pl.BlockSpec((bw, sl, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, sl, c), shortcut.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(
+        shortcut, att,
+        wproj, vec(sproj), vec(bproj),
+        vec(ln2_s), vec(ln2_b),
+        w1, vec(s1), vec(b1),
+        w2, vec(s2), vec(b2),
+    )
+
+
+def _tail_w8a8_fwd(shortcut, att, params, interpret, act, eps):
+    return (
+        fused_block_tail_w8a8(shortcut, att, params, interpret, act, eps),
+        (shortcut, att, params),
+    )
+
+
+def _tail_w8a8_bwd(interpret, act, eps, res, g):
+    shortcut, att, params = res
+    f32 = jnp.float32
+
+    def deq_ref(s_, a_, p_):
+        (wproj, sproj, bproj, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2) = p_
+        deq = lambda w, sc: (w.astype(f32) * sc.astype(f32)[None, :]).astype(
+            s_.dtype
+        )
+        fp = (deq(wproj, sproj), bproj.astype(s_.dtype), ln2_s, ln2_b,
+              deq(w1, s1), b1.astype(s_.dtype), deq(w2, s2),
+              b2.astype(s_.dtype))
+        return _tail_reference(s_, a_, fp, act, eps)
+
+    _, vjp = jax.vjp(deq_ref, shortcut, att, params)
+    return vjp(g)
+
+
+fused_block_tail_w8a8.defvjp(_tail_w8a8_fwd, _tail_w8a8_bwd)
