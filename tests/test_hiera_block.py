@@ -520,3 +520,131 @@ def test_hiera_int8_w8a8_close_to_fp32():
             np.linalg.norm(af, axis=-1) * np.linalg.norm(bf, axis=-1) + 1e-9
         )
         assert float(cos.min()) > 0.98, float(cos.min())
+
+
+# ---------------------------------------------------------------------------
+# W8A8 special-block kernels (fused_qpool_block_w8a8 / fused_ln_matmul_w8a8 /
+# fused_block_tail_w8a8) — round-5 int8 coverage of Hiera-L's q-pool /
+# global / dim-change blocks (reference sam2.py:1085-1131)
+# ---------------------------------------------------------------------------
+
+def _qk(key, din, dout):
+    return (
+        jax.random.randint(key, (din, dout), -127, 128, jnp.int8),
+        jnp.abs(0.02 * jax.random.normal(key, (dout,))) + 1e-4,
+        0.1 * jax.random.normal(key, (dout,)),
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode parity runs on CPU",
+)
+@pytest.mark.parametrize(
+    "n,ws,cin,cout,heads,stride",
+    [(4, 8, 32, 64, 2, (2, 2)), (2, 4, 16, 48, 3, (2, 2))],
+)
+def test_qpool_w8a8_kernel_matches_reference(n, ws, cin, cout, heads, stride):
+    from ufvideo_tpu.ops.hiera_block import (
+        _qpool_w8a8_reference, fused_qpool_block_w8a8,
+    )
+
+    hp = cout // heads
+    hw = heads * hp
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, ws * ws, cin))
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    wf, sf, bf = _qk(ks[0], cin, 3 * hw + cout)
+    wp, sp, bp = _qk(ks[1], hw, cout)
+    w1, s1, b1 = _qk(ks[2], cout, 4 * cout)
+    w2, s2, b2 = _qk(ks[3], 4 * cout, cout)
+    params = (
+        jnp.ones((cin,)) + 0.1 * jax.random.normal(ks[4], (cin,)),
+        0.1 * jax.random.normal(ks[4], (cin,)),
+        wf, sf, bf, wp, sp, bp,
+        jnp.ones((cout,)) + 0.1 * jax.random.normal(ks[5], (cout,)),
+        0.1 * jax.random.normal(ks[5], (cout,)),
+        w1, s1, b1, w2, s2, b2,
+    )
+    got = fused_qpool_block_w8a8(
+        x, params, heads, hp, 0, stride, interpret=True
+    )
+    want = _qpool_w8a8_reference(x, params, heads, hp, hp, stride)
+    sq = (ws // stride[0]) * (ws // stride[1])
+    assert got.shape == (n, sq, cout)
+    got, want = np.asarray(got), np.asarray(want)
+    rel = np.abs(got - want) / (np.abs(want) + 1e-3)
+    frac_close = np.mean((np.abs(got - want) < 1e-3) | (rel < 1e-2))
+    assert frac_close > 0.999, frac_close
+    np.testing.assert_allclose(got, want, atol=2.0, rtol=5e-2)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode parity runs on CPU",
+)
+def test_ln_matmul_and_tail_w8a8_match_reference():
+    from ufvideo_tpu.ops.hiera_block import (
+        _ln_matmul_w8a8_reference, _tail_w8a8_reference,
+        fused_block_tail_w8a8, fused_ln_matmul_w8a8,
+    )
+
+    n, s, c, a = 4, 64, 32, 48
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    x = jax.random.normal(ks[0], (n, s, c))
+    ln_s = jnp.ones((c,)) + 0.1 * jax.random.normal(ks[1], (c,))
+    ln_b = 0.1 * jax.random.normal(ks[1], (c,))
+    w, sw, b = _qk(ks[2], c, a)
+    got = fused_ln_matmul_w8a8(x, ln_s, ln_b, w, sw, b, interpret=True)
+    want = _ln_matmul_w8a8_reference(x, ln_s, ln_b, w, sw, b, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3
+    )
+
+    att = jax.random.normal(ks[3], (n, s, a))
+    wp, sp, bp = _qk(ks[4], a, c)
+    w1, s1, b1 = _qk(ks[5], c, 4 * c)
+    w2, s2, b2 = _qk(ks[5], 4 * c, c)
+    ln2_s = jnp.ones((c,))
+    ln2_b = jnp.zeros((c,))
+    tparams = (wp, sp, bp, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2)
+    got = fused_block_tail_w8a8(x, att, tparams, interpret=True)
+    want = _tail_w8a8_reference(x, att, tparams, "gelu_exact", 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-2, rtol=1e-2
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode parity runs on CPU",
+)
+def test_special_w8a8_kernels_differentiable():
+    """The STE custom-VJPs produce finite float grads for x and the float
+    leaves (int8 leaves get float0) — enabling quant_vision fine-tuning."""
+    from ufvideo_tpu.ops.hiera_block import fused_qpool_block_w8a8
+
+    n, ws, cin, cout, heads = 2, 4, 16, 32, 2
+    hp = cout // heads
+    hw = heads * hp
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, ws * ws, cin))
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    wf, sf, bf = _qk(ks[0], cin, 3 * hw + cout)
+    wp, sp, bp = _qk(ks[1], hw, cout)
+    w1, s1, b1 = _qk(ks[2], cout, 4 * cout)
+    w2, s2, b2 = _qk(ks[3], 4 * cout, cout)
+    params = (
+        jnp.ones((cin,)), jnp.zeros((cin,)),
+        wf, sf, bf, wp, sp, bp,
+        jnp.ones((cout,)), jnp.zeros((cout,)),
+        w1, s1, b1, w2, s2, b2,
+    )
+
+    def loss(xx, sfx):
+        p = params[:3] + (sfx,) + params[4:]
+        return jnp.sum(
+            fused_qpool_block_w8a8(xx, p, heads, hp, 0, (2, 2)) ** 2
+        )
+
+    gx, gs = jax.grad(loss, argnums=(0, 1))(x, sf)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(gs)).all()

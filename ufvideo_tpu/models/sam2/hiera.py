@@ -255,41 +255,76 @@ class MultiScaleBlock(nn.Module):
                 align_qkv=True,  # 42.0 -> 47.8 f/s for Hiera-L (PERF.md r3)
             )
 
-        if not self.quant and (
-            self.q_stride is not None or self.window_side == 0
-        ):
+        if self.q_stride is not None or self.window_side == 0:
             # q-pooling / global blocks (6 of Hiera-L's 48): the attention
             # stays in XLA / the flash kernel, but the LN1→qkv(+shortcut
             # proj) front and the proj→residual→LN2→MLP tail run as single
             # fused passes (ops/hiera_block.py fused_ln_matmul /
-            # fused_block_tail) — 7 HBM round-trips become 3
+            # fused_block_tail, or their _w8a8 variants in int8 mode) —
+            # 7 HBM round-trips become 3
             hd = self.dim_out // self.num_heads
             hp = self.head_pad or hd
             hw = self.num_heads * hp
             scale = hd ** -0.5
             ln1_s, ln1_b = _LNP(self.dim, self.param_dtype, name="norm1")()
-            wq, bq, wp, bp = _AttnP(
-                self.dim, 3 * hw, hw, self.param_dtype,
-                proj_out=self.dim_out, name="attn",
-            )()
             ln2_s, ln2_b = _LNP(self.dim_out, self.param_dtype, name="norm2")()
-            w1, b1 = _DenseP(
-                self.dim_out, hidden, self.param_dtype, name="mlp_layers_0"
-            )()
-            w2, b2 = _DenseP(
-                hidden, self.dim_out, self.param_dtype, name="mlp_layers_1"
-            )()
-            wfront, bfront = wq, bq
-            if self.dim != self.dim_out:
-                # the dim-change shortcut projection reads the same LN1
-                # output — fold it into the front matmul's output columns
-                wsc, bsc = _DenseP(
-                    self.dim, self.dim_out, self.param_dtype, name="proj"
-                )()
-                wfront = jnp.concatenate(
-                    [wq.astype(self.dtype), wsc.astype(self.dtype)], axis=1
+            sfront = qs = ps = s1 = s2 = None
+            if self.quant:
+                from ..param_holders import QuantAttnPairParams as _QAttnP
+                from ..param_holders import QuantDenseParams as _QDenseP
+                from ...ops.hiera_block import (
+                    fused_block_tail_w8a8,
+                    fused_ln_matmul_w8a8,
+                    fused_qpool_block_w8a8,
                 )
-                bfront = jnp.concatenate([bq, bsc])
+
+                wq, qs, bq, wp, ps, bp = _QAttnP(
+                    self.dim, 3 * hw, hw, self.dtype,
+                    proj_out=self.dim_out, name="attn",
+                )()
+                w1, s1, b1 = _QDenseP(
+                    self.dim_out, hidden, self.dtype, name="mlp_layers_0"
+                )()
+                w2, s2, b2 = _QDenseP(
+                    hidden, self.dim_out, self.dtype, name="mlp_layers_1"
+                )()
+                wfront, sfront, bfront = wq, qs, bq
+                if self.dim != self.dim_out:
+                    # the dim-change shortcut projection reads the same LN1
+                    # output — fold it into the front matmul's columns
+                    # (weight scales are per-output-column, so int8 blocks
+                    # concatenate exactly)
+                    wsc, ssc, bsc = _QDenseP(
+                        self.dim, self.dim_out, self.dtype, name="proj"
+                    )()
+                    wfront = jnp.concatenate([wq, wsc], axis=1)
+                    sfront = jnp.concatenate([qs, ssc])
+                    bfront = jnp.concatenate([bq, bsc])
+            else:
+                wq, bq, wp, bp = _AttnP(
+                    self.dim, 3 * hw, hw, self.param_dtype,
+                    proj_out=self.dim_out, name="attn",
+                )()
+                w1, b1 = _DenseP(
+                    self.dim_out, hidden, self.param_dtype,
+                    name="mlp_layers_0"
+                )()
+                w2, b2 = _DenseP(
+                    hidden, self.dim_out, self.param_dtype,
+                    name="mlp_layers_1"
+                )()
+                wfront, bfront = wq, bq
+                if self.dim != self.dim_out:
+                    # the dim-change shortcut projection reads the same LN1
+                    # output — fold it into the front matmul's output columns
+                    wsc, bsc = _DenseP(
+                        self.dim, self.dim_out, self.param_dtype, name="proj"
+                    )()
+                    wfront = jnp.concatenate(
+                        [wq.astype(self.dtype), wsc.astype(self.dtype)],
+                        axis=1,
+                    )
+                    bfront = jnp.concatenate([bq, bsc])
 
             import os as _os
 
@@ -301,6 +336,14 @@ class MultiScaleBlock(nn.Module):
             ):
                 # whole-block fused q-pool kernel: computes only the pooled
                 # sq = S/(sy·sx) q rows (ops/hiera_block.fused_qpool_block)
+                if self.quant:
+                    return fused_qpool_block_w8a8(
+                        x.astype(self.dtype),
+                        (ln1_s, ln1_b, wfront, sfront, bfront, wp, ps, bp,
+                         ln2_s, ln2_b, w1, s1, b1, w2, s2, b2),
+                        self.num_heads, hd, self.head_pad, self.q_stride,
+                        act=_hiera_act(),
+                    )
                 return fused_qpool_block(
                     x.astype(self.dtype),
                     (ln1_s, ln1_b, wfront, bfront, wp, bp, ln2_s, ln2_b,
@@ -309,9 +352,15 @@ class MultiScaleBlock(nn.Module):
                     act=_hiera_act(),
                 )
 
-            front = fused_ln_matmul(
-                x.astype(self.dtype), ln1_s, ln1_b, wfront, bfront
-            )
+            if self.quant:
+                front = fused_ln_matmul_w8a8(
+                    x.astype(self.dtype), ln1_s, ln1_b, wfront, sfront,
+                    bfront,
+                )
+            else:
+                front = fused_ln_matmul(
+                    x.astype(self.dtype), ln1_s, ln1_b, wfront, bfront
+                )
             qkv = front[..., : 3 * hw]
             n, s, _ = qkv.shape
 
@@ -358,6 +407,12 @@ class MultiScaleBlock(nn.Module):
                 if pad_d:
                     o = o[..., :hp]
                 o = o.reshape(n, s, hw)
+            if self.quant:
+                return fused_block_tail_w8a8(
+                    shortcut, o,
+                    (wp, ps, bp, ln2_s, ln2_b, w1, s1, b1, w2, s2, b2),
+                    act=_hiera_act(),
+                )
             return fused_block_tail(
                 shortcut, o, (wp, bp, ln2_s, ln2_b, w1, b1, w2, b2),
                 act=_hiera_act(),
