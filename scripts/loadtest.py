@@ -43,6 +43,14 @@ def main():
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--stream-every", type=int, default=0,
                    help="every Nth request streams (0 = none)")
+    p.add_argument("--pixel-dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="client video payload: float32 = SigLIP-"
+                        "preprocessed frames (56 MB/request — the round-4 "
+                        "record shape); uint8 = raw decoded frames with "
+                        "on-device preprocessing (14 MB/request — the "
+                        "realistic serving input and 4x less host->device "
+                        "traffic)")
     args = p.parse_args()
 
     platform = args.platform or ("cpu" if args.tiny else "")
@@ -72,11 +80,14 @@ def main():
     )
     vcfg = model.cfg
     rng = np.random.RandomState(0)
-    videos = [
-        rng.randn(vcfg.budget.num_frames, vcfg.vision.image_size,
-                  vcfg.vision.image_size, 3).astype(np.float32)
-        for _ in range(4)
-    ]
+    shape = (vcfg.budget.num_frames, vcfg.vision.image_size,
+             vcfg.vision.image_size, 3)
+    if args.pixel_dtype == "uint8":
+        videos = [
+            rng.randint(0, 256, size=shape, dtype=np.uint8) for _ in range(4)
+        ]
+    else:
+        videos = [rng.randn(*shape).astype(np.float32) for _ in range(4)]
 
     if args.mode == "engine":
         from ufvideo_tpu.engine import StreamingEngine
@@ -101,6 +112,7 @@ def main():
     lat_lock = threading.Lock()
     tokens_out = [0]
     errors = [0]
+    error_msgs = []
     idx = [0]
     idx_lock = threading.Lock()
 
@@ -131,9 +143,11 @@ def main():
                 with lat_lock:
                     lat.append(time.perf_counter() - t0)
                     tokens_out[0] += ntok
-            except Exception:
+            except Exception as e:  # noqa: BLE001 — counted + sampled below
                 with lat_lock:
                     errors[0] += 1
+                    if len(error_msgs) < 4:
+                        error_msgs.append(f"{type(e).__name__}: {e}"[:400])
 
     t_start = time.perf_counter()
     threads = [
@@ -150,10 +164,12 @@ def main():
     print(json.dumps({
         "mode": args.mode,
         "spec": args.spec,
+        "pixel_dtype": args.pixel_dtype,
         "clients": args.clients,
         "requests": args.requests,
         "completed": len(lat),
         "errors": errors[0],
+        "error_msgs": error_msgs,
         "wall_s": round(wall, 2),
         "requests_per_s": round(len(lat) / wall, 3) if wall else None,
         "gen_tokens_per_s": round(tokens_out[0] / wall, 1) if wall else None,

@@ -53,6 +53,7 @@ slot per weight pass); admission resets one state row
 
 from __future__ import annotations
 
+import functools
 import queue as queue_mod
 import threading
 import time
@@ -100,12 +101,19 @@ class _SlotState:
         self.finished = False
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_slot(cache, scratch, slot, src=0):
     """Write row ``src`` of a scratch cache into batch row ``slot`` of the
     persistent cache (scratch S may be shorter than the persistent S; the
     batched admission pipeline prefills several queued requests into one
-    scratch, one row each)."""
+    scratch, one row each).
+
+    The persistent cache is DONATED: at real config it is ~3.9 GB
+    (28L x 2 x [8, 4, 4224, 128] bf16), and a functional copy would double
+    it in HBM exactly while the admitter thread holds its own encode/
+    prefill transients — measured on-chip as RESOURCE_EXHAUSTED admission
+    failures (2026-08-19). Aliasing makes the install a true in-place row
+    write."""
     return jax.tree.map(
         lambda c, p: jax.lax.dynamic_update_slice(
             c,
@@ -144,6 +152,7 @@ class StreamingEngine:
         max_queue: int = 256,
         spec_k: int = 0,
         admit_batch: int = 0,
+        admit_chunk: int = 4,
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer
@@ -154,6 +163,9 @@ class StreamingEngine:
         # chain (default: the slot count). Lower it when scratch-prefill
         # HBM transients at full width are too tight for the chip.
         self.admit_batch = int(admit_batch) or self.max_slots
+        # cap on how many of those ride one transfer/encode/splice/prefill
+        # dispatch (HBM-transient bound; see _prepare_video_group)
+        self.admit_chunk = max(int(admit_chunk), 1)
         # spec_k > 0: slot batching composes with prompt-lookup speculative
         # decoding — the spec loop state is already batch-shaped, so each
         # step is one draft→verify pass over every active slot (1..K+1
@@ -402,10 +414,9 @@ class StreamingEngine:
             else:
                 solo.append((i, ids))
         for members in groups.values():
-            try:
-                self._prepare_video_group(reqs, members, results)
-            except Exception:  # noqa: BLE001 — one bad batch ≠ batch death
-                for i, ids, _arr in members:
+            self._prepare_video_group(reqs, members, results)
+            for i, ids, _arr in members:
+                if results[i] is None:  # sub-batch failed → solo retry
                     solo.append((i, ids))
         for i, ids in solo:
             try:
@@ -426,10 +437,26 @@ class StreamingEngine:
         return items + [items[-1]] * (target - n)
 
     def _prepare_video_group(self, reqs, members, results) -> None:
-        """One batched admission chain for same-shaped video requests:
-        one host→device transfer, one vision encode, one splice, and one
-        prefill per 256-length bucket. Batch dims are padded to powers of
-        two (see ``_pow2pad``)."""
+        """Batched admission chain for same-shaped video requests, run in
+        sub-batches of at most ``admit_chunk``: each sub-batch shares ONE
+        host→device transfer, ONE vision encode, ONE splice, and one
+        prefill per 256-length bucket. The cap bounds the chain's HBM
+        transients (f32 pixel stack + T·chunk-frame vision activations +
+        [chunk, max_seq_len, hidden] splice embeds + scratch prefill
+        caches) — an uncapped 8-request group stages ~0.45 GB of pixels
+        and a 256-frame SigLIP pass next to the live decode state, which
+        OOMed on-chip (2026-08-19). Batch dims are padded to powers of two
+        (see ``_pow2pad``)."""
+        members = list(members)
+        for start in range(0, len(members), self.admit_chunk):
+            try:
+                self._prepare_video_subgroup(
+                    reqs, members[start : start + self.admit_chunk], results
+                )
+            except Exception:  # noqa: BLE001 — failed members retry solo
+                pass  # their results stay None; _prepare solos them
+
+    def _prepare_video_subgroup(self, reqs, members, results) -> None:
         model, cfg = self.model, self.model.cfg
         t_start = time.perf_counter()
         padded = self._pow2pad(list(members))
@@ -445,6 +472,7 @@ class StreamingEngine:
             )
             px = px.reshape((g, t) + px.shape[1:])
         feats = model.encode_video(px)  # [Gp, V, d]
+        del px  # drop the device pixel ref as soon as the encode owns it
         plan = plan_splice(
             [ids for _, ids, _ in padded],
             num_video_tokens=feats.shape[1],
@@ -461,6 +489,7 @@ class StreamingEngine:
             feats,
             None,
         )  # [G, S, d]
+        del feats
         real_lens = [int(l) for l in plan.seq_lens]
         buckets: Dict[int, List[int]] = {}
         for j, rl in enumerate(real_lens):
