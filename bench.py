@@ -93,12 +93,19 @@ def _timeit(fn, *args, warmup=1, iters=3):
 
 def _random_params(shapes, scale=0.02):
     """Random (not zero!) params: all-zeros weights let parts of the stack
-    short-circuit and wildly overstate throughput."""
+    short-circuit and wildly overstate throughput.
+
+    Generated ON DEVICE inside one jit: the per-leaf eager version cost a
+    remote dispatch round-trip per leaf (~300 leaves for the 7B ≈ minutes
+    of pure RTT on this runtime, billed to every bench mode as 'weight
+    generation'); one fused executable is persistent-cacheable and leaves
+    the host out of the weight path entirely. int4 leaves stay on the
+    eager path (the axon PJRT client cannot relay S4 jit outputs)."""
     import jax
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree.flatten(shapes)
-    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+
     def gen(k, s):
         if jnp.issubdtype(s.dtype, jnp.integer):
             return jax.random.randint(k, s.shape, -127, 128, jnp.int32).astype(
@@ -106,7 +113,22 @@ def _random_params(shapes, scale=0.02):
             )
         return scale * jax.random.normal(k, s.shape, s.dtype)
 
-    vals = [gen(k, s) for k, s in zip(keys, leaves)]
+    fused = [
+        s.dtype != jnp.int4 if hasattr(jnp, "int4") else True for s in leaves
+    ]
+
+    def gen_fused():
+        keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+        return [
+            gen(k, s) for k, s, f in zip(keys, leaves, fused) if f
+        ]
+
+    fused_vals = iter(jax.jit(gen_fused)() if any(fused) else [])
+    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+    vals = [
+        next(fused_vals) if f else gen(k, s)
+        for k, s, f in zip(keys, leaves, fused)
+    ]
     return jax.tree.unflatten(treedef, vals)
 
 

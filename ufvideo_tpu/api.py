@@ -488,17 +488,33 @@ def model_init(
                 params["sam"] = quantize_sam2_params(params["sam"])
     else:
         model = UFVideoModel(cfg)
-        params = model.init_params(jax.random.PRNGKey(0))
-        params["sam"] = SAM2(
+        sam = SAM2(
             cfg.sam, dtype=cfg.compute_dtype, param_dtype=cfg.param_dtype,
             quant=cfg.quant_vision,
-        ).init(
-            jax.random.PRNGKey(1),
-            jnp.zeros(
-                (1, cfg.sam.hiera.image_size, cfg.sam.hiera.image_size, 3),
-                jnp.float32,
-            ),
-        )["params"]
+        )
+
+        def _init_sam(key):
+            return sam.init(
+                key,
+                jnp.zeros(
+                    (1, cfg.sam.hiera.image_size, cfg.sam.hiera.image_size,
+                     3),
+                    jnp.float32,
+                ),
+            )["params"]
+
+        # jit the random init: eagerly, flax init issues one remote
+        # dispatch per initializer (~minutes of pure RTT at 7B scale on
+        # this runtime); fused it is one persistent-cacheable executable
+        # and the host never touches the weights. int4 quant stays eager
+        # (the axon PJRT client cannot relay S4 jit outputs).
+        fuse = cfg.quant_llm not in (4, "int4", "4bit")
+        init_params = (
+            jax.jit(model.init_params) if fuse else model.init_params
+        )
+        init_sam = jax.jit(_init_sam) if fuse else _init_sam
+        params = dict(init_params(jax.random.PRNGKey(0)))
+        params["sam"] = init_sam(jax.random.PRNGKey(1))
 
     runtime = UFVideoRuntime(cfg, params, ids)
     return runtime, None, tokenizer
