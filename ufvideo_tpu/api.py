@@ -564,6 +564,12 @@ def _encode_video_input(model: UFVideoRuntime, image_or_video, modal: str):
         pixels = siglip_preprocess_device(
             jnp.asarray(pixels), out_dtype=cfg.compute_dtype
         )
+    elif pixels.dtype == np.float32 and cfg.compute_dtype == jnp.bfloat16:
+        # encode-bit-identical (the tower computes in bf16), half the
+        # host→device bytes — the transfer dominates remote admission
+        import ml_dtypes
+
+        pixels = pixels.astype(ml_dtypes.bfloat16)
     if modal == "image":
         pixels = jnp.broadcast_to(
             jnp.asarray(pixels)[:1],

@@ -461,6 +461,14 @@ class StreamingEngine:
         t_start = time.perf_counter()
         padded = self._pow2pad(list(members))
         stack = np.stack([arr for _, _, arr in padded])  # [Gp, T, H, W, 3]
+        if stack.dtype == np.float32 and cfg.compute_dtype == jnp.bfloat16:
+            # halve the host→device bytes: the vision tower computes in
+            # bf16 anyway, so casting on host is encode-bit-identical and
+            # the (high-RTT, ~50-100 MB/s) transfer is the admission
+            # chain's largest single term at f32 (56 MB/request)
+            import ml_dtypes
+
+            stack = stack.astype(ml_dtypes.bfloat16)
         px = jnp.asarray(stack)
         if stack.dtype == np.uint8:
             from .ops.image_pipeline import siglip_preprocess_device
