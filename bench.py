@@ -658,18 +658,21 @@ RECORDED = {
 # Round 4's record went 9/12-stale precisely because these cold numbers
 # (1100-1900 s) were used to budget modes whose warm cost is 70-350 s.
 DRIVER_EXTRA_MODES = (
+    # round-5 deltas first: pipelined-admission engine, re-routed int8
+    # Hiera special blocks, the int8 towers — the numbers this round
+    # changed re-measure before the stable legacy rows
+    ("serve_loadtest", 1500),
+    ("sam_encode_int8", 700),
+    ("vit_encode_int8", 600),
     ("decode_int8", 600),
     ("decode_int8_spec_best", 400),
     ("decode_int8_spec_worst", 300),
     ("vit_encode", 600),
-    ("vit_encode_int8", 600),
     ("sam_encode", 1100),
-    ("sam_encode_int8", 700),
     ("decode_int8_kvq8", 400),
     ("e2e", 1600),
     ("prefill", 500),
     ("e2e_batch", 1900),
-    ("serve_loadtest", 1500),
 )
 
 _COSTS_PATH_ENV = "UFVIDEO_BENCH_COSTS"
@@ -720,33 +723,33 @@ def _cache_is_warm() -> bool:
 
 
 def bench_serve_loadtest(
-    clients: int = 8, requests: int = 32, max_new: int = 64, spec: int = 0
+    clients: int = 8, requests: int = 32, max_new: int = 64, spec: int = 0,
+    zero_llm: bool = False,
 ):
     """Serving-core offered-load benchmark: drives scripts/loadtest.py
     (StreamingEngine, int8 LLM, random weights) in a subprocess and reports
     aggregate requests/s. Token work per request is fixed (stop ids
     unreachable on random weights), so the number measures the continuous-
     batching engine, not model quality. ``spec`` composes prompt-lookup
-    speculation into the engine (spec_k); random weights accept ~no drafts,
-    so this is the speculation FLOOR under load (verify-pass overhead
-    included) — the engine's measured acceptance rate is echoed on stderr
-    for PERF.md."""
+    speculation into the engine (spec_k); random weights accept ~no drafts
+    (the speculation FLOOR under load, verify-pass overhead included) and
+    ``zero_llm`` zeroes the LLM for the repetitive-generation UPPER bracket
+    — both report the engine's measured acceptance rate on stderr for
+    PERF.md."""
     import subprocess
 
     script = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scripts", "loadtest.py"
     )
-    r = subprocess.run(
-        [
-            sys.executable, script, "--quant", "int8", "--mode", "engine",
-            "--clients", str(clients), "--requests", str(requests),
-            "--max-new", str(max_new), "--max-batch", "8",
-            "--spec", str(spec),
-        ],
-        capture_output=True,
-        text=True,
-        timeout=5400,
-    )
+    cmd = [
+        sys.executable, script, "--quant", "int8", "--mode", "engine",
+        "--clients", str(clients), "--requests", str(requests),
+        "--max-new", str(max_new), "--max-batch", "8",
+        "--spec", str(spec),
+    ]
+    if zero_llm:
+        cmd.append("--zero-llm")
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
     if r.returncode != 0:
         raise RuntimeError(f"loadtest rc={r.returncode}: {r.stderr[-400:]}")
     for line in reversed(r.stdout.strip().splitlines()):
@@ -760,6 +763,8 @@ def bench_serve_loadtest(
             name = "serve_loadtest_requests_per_sec"
             if spec:
                 name = f"serve_loadtest_spec{spec}_requests_per_sec"
+                if zero_llm:
+                    name = name.replace("_requests", "_best_requests")
             return name, float(d["requests_per_s"]), "requests/s/chip"
         except (ValueError, KeyError):
             continue
@@ -837,6 +842,9 @@ def _mode_fns():
         "e2e_batch_int8v": lambda: bench_e2e(batch=8, vision_quant=True),
         "serve_loadtest": bench_serve_loadtest,
         "serve_loadtest_spec4": lambda: bench_serve_loadtest(spec=4),
+        "serve_loadtest_spec4_best": lambda: bench_serve_loadtest(
+            spec=4, zero_llm=True
+        ),
         "e2e_batch_int8v_spec_best": lambda: bench_e2e(
             batch=8, vision_quant=True, spec=4, spec_best=True
         ),

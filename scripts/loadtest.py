@@ -43,6 +43,13 @@ def main():
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--stream-every", type=int, default=0,
                    help="every Nth request streams (0 = none)")
+    p.add_argument("--zero-llm", action="store_true",
+                   help="zero the LLM weights after init: constant logits "
+                        "make generation repetitive, so prompt-lookup "
+                        "speculation accepts ~all drafts — the measured "
+                        "UPPER acceptance bracket under load (random "
+                        "weights are the ~zero-acceptance floor); towers "
+                        "stay random so admission cost is honest")
     p.add_argument("--pixel-dtype", default="float32",
                    choices=["float32", "uint8"],
                    help="client video payload: float32 = SigLIP-"
@@ -78,6 +85,13 @@ def main():
         sam_path=args.sam_path or None,
         tokenizer_path=args.tokenizer_path or None,
     )
+    if args.zero_llm:
+        import jax
+        import jax.numpy as jnp
+
+        model.params["llm"] = jax.tree.map(
+            jnp.zeros_like, model.params["llm"]
+        )
     vcfg = model.cfg
     rng = np.random.RandomState(0)
     shape = (vcfg.budget.num_frames, vcfg.vision.image_size,
