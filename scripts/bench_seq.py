@@ -20,7 +20,9 @@ for mode in MODES:
     try:
         r = subprocess.run(
             [sys.executable, "bench.py", mode],
-            capture_output=True, text=True, timeout=2400, cwd="/root/repo",
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("BENCH_TIMEOUT", 2400)),
+            cwd="/root/repo",
         )
         out = r.stdout.strip().splitlines()
         rec = {"mode": mode, "wall_s": round(time.time() - t0, 1),
