@@ -153,11 +153,15 @@ def test_engine_batched_admission_matches_solo(runtime):
         assert all(isinstance(b, engine_mod._Prepared) for b in batched)
         # batching actually happened: same-shape videos share a scratch
         assert batched[0].scratch is batched[1].scratch
-        for req, prep in zip(reqs, batched):
-            ids = _assemble_input_ids(
-                req.sample["instruct"], 1, DEFAULT_VIDEO_TOKEN, tok
+        # batched prepare consumes (drops) each request's video payload, so
+        # the solo comparison runs on freshly-built requests
+        for v, p, prep in zip(videos, prompts, batched):
+            ids = _assemble_input_ids(p, 1, DEFAULT_VIDEO_TOKEN, tok)
+            solo_req = engine_mod._EngineRequest(
+                {"video": v, "instruct": p}, "video", 1,
+                {"max_new_tokens": 6}, ServeFuture(), False,
             )
-            solo = eng._prepare_one(req, ids)
+            solo = eng._prepare_one(solo_req, ids)
             assert prep.t0 == solo.t0
             assert prep.real_len == solo.real_len
             jax.tree.map(

@@ -166,6 +166,19 @@ class StreamingEngine:
         # cap on how many of those ride one transfer/encode/splice/prefill
         # dispatch (HBM-transient bound; see _prepare_video_group)
         self.admit_chunk = max(int(admit_chunk), 1)
+        import os as _os
+
+        # client-thread device transfer (see _prestage); =0 keeps pixels
+        # host-side until admission
+        self._prestage_dev = (
+            _os.environ.get("UFVIDEO_ENGINE_PRESTAGE", "1") != "0"
+        )
+        # env-gated per-stage fences in the admission chain (tiny readbacks
+        # — block_until_ready is a no-op on remote runtimes) so prep_s
+        # decomposes into transfer/encode/splice/prefill for PERF analysis
+        self._stage_sync = (
+            _os.environ.get("UFVIDEO_ENGINE_STAGE_SYNC", "") == "1"
+        )
         # spec_k > 0: slot batching composes with prompt-lookup speculative
         # decoding — the spec loop state is already batch-shaped, so each
         # step is one draft→verify pass over every active slot (1..K+1
@@ -247,6 +260,32 @@ class StreamingEngine:
                 f"max_new_tokens exceeds the engine cap {self.max_new_cap}"
             )
 
+    def _prestage(self, sample: Dict[str, Any]) -> None:
+        """Client-thread staging of the video payload: cast f32 pixels to
+        bf16 (encode-bit-identical — the tower computes in bf16; halves the
+        host→device bytes) and, while the admitter is not backlogged, start
+        the host→device transfer here too. Both used to run serially inside
+        the admitter thread, where stacking + casting one 4-video f32 group
+        costs seconds of its per-batch budget (measured 2026-08-20); on the
+        client threads N submissions stage concurrently and overlap decode.
+        The queue-depth guard bounds device pixel residency to roughly
+        ``max_slots`` in-flight videos so prestaging can never OOM a loaded
+        engine — backlogged requests stay host-side until admission."""
+        vid = sample.get("video")
+        if vid is None or isinstance(vid, jax.Array):
+            return
+        arr = np.asarray(vid)
+        if (
+            arr.dtype == np.float32
+            and self.model.cfg.compute_dtype == jnp.bfloat16
+        ):
+            import ml_dtypes
+
+            arr = arr.astype(ml_dtypes.bfloat16)
+            sample["video"] = arr
+        if self._prestage_dev and self._queue.qsize() < self.max_slots:
+            sample["video"] = jax.device_put(arr)
+
     def _submit(self, sample, modal, choice, gen, stream) -> Any:
         self._check(sample, gen)
         fut = StreamFuture() if stream else ServeFuture()
@@ -254,6 +293,7 @@ class StreamingEngine:
                              fut, stream)
         if self._closing:
             raise RuntimeError("engine is closed")
+        self._prestage(req.sample)
         try:
             self._queue.put_nowait(req)
         except queue_mod.Full:
@@ -407,7 +447,10 @@ class StreamingEngine:
                 and s.get("frame") is None
                 and s.get("masks") is None
             ):
-                arr = np.asarray(vid)
+                # prestaged payloads are jax arrays already on device —
+                # np.asarray on those would pull 28 MB back through the
+                # tunnel, so key the group on the array as-is
+                arr = vid if isinstance(vid, jax.Array) else np.asarray(vid)
                 groups.setdefault(
                     (arr.shape, str(arr.dtype)), []
                 ).append((i, ids, arr))
@@ -423,7 +466,28 @@ class StreamingEngine:
                 results[i] = self._prepare_one(reqs[i], ids)
             except Exception as e:  # noqa: BLE001 — delivered to caller
                 results[i] = e
+        for res in results:
+            if isinstance(res, _Prepared):
+                # the encode consumed the pixels; drop the (possibly
+                # device-resident) payload instead of holding ~28 MB per
+                # slot until retirement
+                res.req.sample.pop("video", None)
         return results
+
+    def _stage_mark(self, name: str, arr, t_prev: float) -> float:
+        """Stage fence for admission telemetry (UFVIDEO_ENGINE_STAGE_SYNC=1):
+        a one-element readback forces the stage's dispatches to complete
+        (block_until_ready is a no-op on remote runtimes) and the elapsed
+        time lands in stats as ``stage_<name>_s``. Off by default — the
+        fences serialize the chain they are measuring."""
+        if not self._stage_sync:
+            return t_prev
+        np.asarray(jax.tree.leaves(arr)[0].ravel()[0])
+        now = time.perf_counter()
+        with self.stats_lock:
+            key = f"stage_{name}_s"
+            self._stats[key] = self._stats.get(key, 0.0) + (now - t_prev)
+        return now
 
     @staticmethod
     def _pow2pad(items: list) -> list:
@@ -459,18 +523,29 @@ class StreamingEngine:
     def _prepare_video_subgroup(self, reqs, members, results) -> None:
         model, cfg = self.model, self.model.cfg
         t_start = time.perf_counter()
+        t_stage = t_start
         padded = self._pow2pad(list(members))
-        stack = np.stack([arr for _, _, arr in padded])  # [Gp, T, H, W, 3]
-        if stack.dtype == np.float32 and cfg.compute_dtype == jnp.bfloat16:
-            # halve the host→device bytes: the vision tower computes in
-            # bf16 anyway, so casting on host is encode-bit-identical and
-            # the (high-RTT, ~50-100 MB/s) transfer is the admission
-            # chain's largest single term at f32 (56 MB/request)
-            import ml_dtypes
+        vids = [arr for _, _, arr in padded]
+        if any(isinstance(v, jax.Array) for v in vids):
+            # prestaged payloads (see _prestage) are already bf16/uint8 on
+            # device — the stack is one device op, no host memcpy
+            px = jnp.stack([jnp.asarray(v) for v in vids])
+        else:
+            stack = np.stack(vids)  # [Gp, T, H, W, 3]
+            if (
+                stack.dtype == np.float32
+                and cfg.compute_dtype == jnp.bfloat16
+            ):
+                # halve the host→device bytes: the vision tower computes in
+                # bf16 anyway, so casting on host is encode-bit-identical
+                # and the (high-RTT, ~50-100 MB/s) transfer is the admission
+                # chain's largest single term at f32 (56 MB/request)
+                import ml_dtypes
 
-            stack = stack.astype(ml_dtypes.bfloat16)
-        px = jnp.asarray(stack)
-        if stack.dtype == np.uint8:
+                stack = stack.astype(ml_dtypes.bfloat16)
+            px = jnp.asarray(stack)
+        t_stage = self._stage_mark("transfer", px, t_stage)
+        if px.dtype == jnp.uint8:
             from .ops.image_pipeline import siglip_preprocess_device
 
             g, t = px.shape[:2]
@@ -481,6 +556,7 @@ class StreamingEngine:
             px = px.reshape((g, t) + px.shape[1:])
         feats = model.encode_video(px)  # [Gp, V, d]
         del px  # drop the device pixel ref as soon as the encode owns it
+        t_stage = self._stage_mark("encode", feats, t_stage)
         plan = plan_splice(
             [ids for _, ids, _ in padded],
             num_video_tokens=feats.shape[1],
@@ -497,6 +573,7 @@ class StreamingEngine:
             feats,
             None,
         )  # [G, S, d]
+        t_stage = self._stage_mark("splice", embeds, t_stage)
         del feats
         real_lens = [int(l) for l in plan.seq_lens]
         buckets: Dict[int, List[int]] = {}
@@ -524,6 +601,7 @@ class StreamingEngine:
                 prefill_chunk=0,
             )
             t0h = np.asarray(t0)
+            t_stage = self._stage_mark("prefill", t0, t_stage)
             for rj, j in enumerate(rows):
                 if j >= len(members):
                     continue  # pow2-padding dummy row
