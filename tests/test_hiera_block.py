@@ -522,6 +522,42 @@ def test_hiera_int8_w8a8_close_to_fp32():
         assert float(cos.min()) > 0.98, float(cos.min())
 
 
+def test_hiera_int8_special_gate_param_compatible(monkeypatch):
+    """UFVIDEO_SAM2_INT8_SPECIAL=0 routes the quant trunk's q-pool/global/
+    dim-change blocks to the generic W8A8Dense path. The SAME quantized
+    param tree must apply through both routings (holder names identical)
+    and produce numerically matching outputs — the A/B lever for the
+    fused-special routing must not fork checkpoints."""
+    from ufvideo_tpu.configs import tiny_config
+    from ufvideo_tpu.models.sam2.hiera import Hiera
+    from ufvideo_tpu.quant import _quantize_dense_tree, quantize_kernel
+
+    cfg = tiny_config().sam.hiera
+    model = Hiera(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    px = jax.random.normal(
+        jax.random.PRNGKey(3), (1, cfg.image_size, cfg.image_size, 3),
+        jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(2), px)["params"]
+    qparams = {
+        k: (_quantize_dense_tree(v, quantize_kernel)
+            if k.startswith("blocks_") else v)
+        for k, v in params.items()
+    }
+    qmodel = Hiera(cfg, dtype=jnp.float32, param_dtype=jnp.float32, quant=True)
+    monkeypatch.setenv("UFVIDEO_SAM2_INT8_SPECIAL", "1")
+    fused = qmodel.apply({"params": qparams}, px)
+    monkeypatch.setenv("UFVIDEO_SAM2_INT8_SPECIAL", "0")
+    generic = qmodel.apply({"params": qparams}, px)
+    for a, b in zip(jax.tree.leaves(fused), jax.tree.leaves(generic)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        af, bf = a.reshape(-1, a.shape[-1]), b.reshape(-1, b.shape[-1])
+        cos = np.sum(af * bf, -1) / (
+            np.linalg.norm(af, axis=-1) * np.linalg.norm(bf, axis=-1) + 1e-9
+        )
+        assert float(cos.min()) > 0.99, float(cos.min())
+
+
 # ---------------------------------------------------------------------------
 # W8A8 special-block kernels (fused_qpool_block_w8a8 / fused_ln_matmul_w8a8 /
 # fused_block_tail_w8a8) — round-5 int8 coverage of Hiera-L's q-pool /

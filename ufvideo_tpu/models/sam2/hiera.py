@@ -255,7 +255,19 @@ class MultiScaleBlock(nn.Module):
                 align_qkv=True,  # 42.0 -> 47.8 f/s for Hiera-L (PERF.md r3)
             )
 
-        if self.q_stride is not None or self.window_side == 0:
+        import os as _os_gate
+
+        # UFVIDEO_SAM2_INT8_SPECIAL=0 sends the quant trunk's 6 special
+        # blocks back to the generic (unfused) W8A8Dense path below — the
+        # A/B lever for the fused-special routing's net effect on the
+        # full-trunk number (round-5 sweep measured 61.06 -> 49.29 f/s
+        # after the routing landed; see PERF.md)
+        _int8_special = _os_gate.environ.get(
+            "UFVIDEO_SAM2_INT8_SPECIAL", "1"
+        ) == "1"
+        if (self.q_stride is not None or self.window_side == 0) and (
+            not self.quant or _int8_special
+        ):
             # q-pooling / global blocks (6 of Hiera-L's 48): the attention
             # stays in XLA / the flash kernel, but the LN1→qkv(+shortcut
             # proj) front and the proj→residual→LN2→MLP tail run as single
