@@ -197,3 +197,38 @@ def test_engine_close_drains_queue(runtime):
     eng.close(timeout=600)
     assert isinstance(f1.result(timeout=1)[0], str)
     assert isinstance(f2.result(timeout=1)[0], str)
+
+
+def test_engine_concurrent_admitters_exact(runtime):
+    """admitters=3 pipelines the latency-bound admission chain across
+    threads (slot claims atomic under _admit_lock). Eight requests flood a
+    4-slot engine from 8 client threads; every output must still match its
+    solo mm_infer exactly and every slot be admitted exactly once."""
+    model, _, tok = runtime
+    cfg = model.cfg
+    videos = [_video(cfg, 20 + i) for i in range(8)]
+    prompts = [f"Scene {i} shows?" for i in range(8)]
+    expect = [
+        mm_infer(v, p, model, tok, max_new_tokens=5)[0]
+        for v, p in zip(videos, prompts)
+    ]
+    results = [None] * 8
+    with StreamingEngine(model, tok, max_slots=4, chunk=2,
+                         max_new_cap=8, admitters=3) as eng:
+        def client(i):
+            results[i] = eng.submit(
+                {"video": videos[i], "instruct": prompts[i]},
+                max_new_tokens=5,
+            ).result(timeout=600)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        st = eng.stats()
+    for i, got in enumerate(results):
+        assert got is not None and got[0] == expect[i], i
+    assert st["completed"] == 8 and st["errors"] == 0
+    assert st["admissions"] == 8

@@ -153,6 +153,7 @@ class StreamingEngine:
         spec_k: int = 0,
         admit_batch: int = 0,
         admit_chunk: int = 4,
+        admitters: int = 0,
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer
@@ -168,6 +169,17 @@ class StreamingEngine:
         self.admit_chunk = max(int(admit_chunk), 1)
         import os as _os
 
+        # Concurrent admitter threads. The admission chain is LATENCY-bound
+        # on remote runtimes (each stage dispatch + the prefill t0 readback
+        # pays tunnel RTT while the chip is mostly idle), so two in-flight
+        # chains pipeline: batch B dispatches its encode while batch A waits
+        # on its readback. The chip serializes the actual work either way;
+        # slot claims are atomic under _admit_lock.
+        self.n_admitters = max(
+            int(admitters)
+            or int(_os.environ.get("UFVIDEO_ENGINE_ADMITTERS", "2") or 2),
+            1,
+        )
         # client-thread device transfer (see _prestage); =0 keeps pixels
         # host-side until admission
         self._prestage_dev = (
@@ -232,15 +244,21 @@ class StreamingEngine:
         # after occupying the slot — removes).
         self._ready: "queue_mod.Queue" = queue_mod.Queue()
         self._reserved: set = set()
+        self._admit_lock = threading.Lock()
 
         self._worker = threading.Thread(
             target=self._run, name="ufvideo-engine", daemon=True
         )
-        self._admitter = threading.Thread(
-            target=self._admit_loop, name="ufvideo-admit", daemon=True
-        )
+        self._admitters = [
+            threading.Thread(
+                target=self._admit_loop, name=f"ufvideo-admit-{i}",
+                daemon=True,
+            )
+            for i in range(self.n_admitters)
+        ]
         self._worker.start()
-        self._admitter.start()
+        for t in self._admitters:
+            t.start()
 
     # ---------------- client surface ----------------
 
@@ -342,7 +360,8 @@ class StreamingEngine:
     def close(self, timeout: float = 120.0) -> None:
         self._closing = True
         t0 = time.perf_counter()
-        self._admitter.join(timeout)
+        for t in self._admitters:
+            t.join(max(timeout - (time.perf_counter() - t0), 0.1))
         self._worker.join(max(timeout - (time.perf_counter() - t0), 0.1))
 
     def __enter__(self) -> "StreamingEngine":
@@ -381,21 +400,24 @@ class StreamingEngine:
                     return
                 continue
             # wait for a free slot: bounds prepared-scratch HBM to the
-            # slot budget (the worker frees slots as requests retire)
+            # slot budget (the worker frees slots as requests retire).
+            # Claim (free-scan + batch-grab + reserve) is atomic so
+            # concurrent admitters never double-book a slot.
             while True:
-                free = self._free_unreserved()
-                if free:
-                    break
+                with self._admit_lock:
+                    free = self._free_unreserved()
+                    if free:
+                        reqs = [req]
+                        while len(reqs) < min(len(free), self.admit_batch):
+                            try:
+                                reqs.append(self._queue.get_nowait())
+                            except queue_mod.Empty:
+                                break
+                        slots = free[: len(reqs)]
+                        for s in slots:
+                            self._reserved.add(s)
+                        break
                 time.sleep(0.002)
-            reqs = [req]
-            while len(reqs) < min(len(free), self.admit_batch):
-                try:
-                    reqs.append(self._queue.get_nowait())
-                except queue_mod.Empty:
-                    break
-            slots = free[: len(reqs)]
-            for s in slots:
-                self._reserved.add(s)
             with self.stats_lock:
                 self._stats["requests"] += len(reqs)
             try:
@@ -888,7 +910,7 @@ class StreamingEngine:
                 # nothing left to splice
                 if (
                     self._closing
-                    and not self._admitter.is_alive()
+                    and not any(t.is_alive() for t in self._admitters)
                     and self._ready.empty()
                 ):
                     return
